@@ -1,0 +1,8 @@
+from sqe_tpu.data.corpus import (  # noqa: F401
+    Chunk,
+    basic_cleaning,
+    chunk_text,
+    load_corpus,
+    read_text_file,
+)
+from sqe_tpu.data.tokenizer import HashingTokenizer  # noqa: F401

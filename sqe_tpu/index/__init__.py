@@ -1,0 +1,1 @@
+from sqe_tpu.index.flat import FlatIndex  # noqa: F401

@@ -1,0 +1,170 @@
+"""Exact flat cosine index: the brute-force oracle and stage-1 retrieval path.
+
+Replaces the reference's OpenSearch k-NN query (app/main.py:347-373) with a
+device-resident vector matrix and a blocked matmul + running top-k: scores are
+computed block-by-block over N with ``lax.scan`` so HBM working-set stays
+bounded, each block's top-k is merged into the running top-k with a single
+``lax.top_k`` over 2k candidates. This is also the recall oracle the HNSW
+index is gated against (BASELINE.json config 2).
+
+Search results follow the reference's contract: a list of
+``(source_dict, score)`` pairs where ``source_dict`` has ``doc_id`` and
+``text`` (app/main.py:361-370).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqe_tpu.data.corpus import Chunk
+from sqe_tpu.ops.distance import l2_normalize
+
+
+def _pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem:
+        x = np.concatenate([x, np.zeros((rem,) + x.shape[1:], x.dtype)], axis=0)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_n"))
+def flat_topk(
+    queries: jax.Array,      # [B, D] normalized
+    vectors: jax.Array,      # [N, D] normalized (N padded to block_n; pad rows are 0)
+    valid_n: jax.Array,      # scalar int32: number of real rows
+    *,
+    k: int,
+    block_n: int = 131072,
+) -> Tuple[jax.Array, jax.Array]:
+    """Blocked exact top-k by cosine. Returns (scores [B,k], ids [B,k])."""
+    n = vectors.shape[0]
+    b = queries.shape[0]
+    nb = n // block_n
+    qf = queries.astype(jnp.float32)
+
+    def scan_body(carry, blk):
+        top_s, top_i = carry
+        block_vecs, base = blk
+        s = jax.lax.dot_general(
+            qf, block_vecs.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # [B, block_n]
+        ids = base + jax.lax.broadcasted_iota(jnp.int32, (b, block_n), 1)
+        s = jnp.where(ids < valid_n, s, -jnp.inf)
+        bs, bi_local = jax.lax.top_k(s, k)
+        bi = jnp.take_along_axis(ids, bi_local, axis=1)
+        cat_s = jnp.concatenate([top_s, bs], axis=1)
+        cat_i = jnp.concatenate([top_i, bi], axis=1)
+        ms, sel = jax.lax.top_k(cat_s, k)
+        mi = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (ms, mi), None
+
+    init = (
+        jnp.full((b, k), -jnp.inf, dtype=jnp.float32),
+        jnp.full((b, k), -1, dtype=jnp.int32),
+    )
+    blocks = vectors.reshape(nb, block_n, vectors.shape[1])
+    bases = (jnp.arange(nb, dtype=jnp.int32) * block_n)
+    (top_s, top_i), _ = jax.lax.scan(scan_body, init, (blocks, bases))
+    return top_s, top_i
+
+
+class FlatIndex:
+    """Device-resident exact cosine index with host-side chunk metadata."""
+
+    def __init__(
+        self,
+        embed_dim: int = 1024,
+        block_n: int = 131072,
+        dtype: Any = jnp.float32,
+        device: Optional[jax.Device] = None,
+    ):
+        self.embed_dim = embed_dim
+        self.block_n = block_n
+        self.dtype = dtype
+        self.device = device
+        self.metas: List[Dict[str, Any]] = []
+        self._vectors: Optional[jax.Array] = None   # [N_padded, D] on device
+        self._n = 0
+
+    # -- reference API parity: OpenSearchIndexer.has_any_data (main.py:300-307)
+    def has_any_data(self) -> bool:
+        return self._n > 0
+
+    def __len__(self) -> int:
+        return self._n
+
+    @property
+    def vectors(self) -> Optional[jax.Array]:
+        return self._vectors
+
+    def valid_vectors(self) -> Optional[jax.Array]:
+        if self._vectors is None:
+            return None
+        return self._vectors[: self._n]
+
+    def add(
+        self,
+        embeddings: np.ndarray,
+        metas: Sequence[Dict[str, Any] | Chunk],
+    ) -> None:
+        """Insert rows (normalized on device). Mirrors add_embeddings
+        (app/main.py:309-338) minus the HTTP bulk batching."""
+        if embeddings.size == 0:
+            return
+        assert embeddings.shape[0] == len(metas)
+        emb = np.asarray(embeddings, dtype=np.float32)
+        emb = np.asarray(l2_normalize(jnp.asarray(emb)))
+        new_metas = [
+            {"doc_id": m.doc_id, "text": m.text} if isinstance(m, Chunk) else dict(m)
+            for m in metas
+        ]
+        if self._vectors is None:
+            stacked = emb
+        else:
+            stacked = np.concatenate(
+                [np.asarray(self._vectors[: self._n]), emb], axis=0
+            )
+        self._n = stacked.shape[0]
+        padded = _pad_rows(stacked, min(self.block_n, max(self._n, 8)))
+        arr = jnp.asarray(padded, dtype=self.dtype)
+        if self.device is not None:
+            arr = jax.device_put(arr, self.device)
+        self._vectors = arr
+        self.metas.extend(new_metas)
+
+    def search_ids(
+        self, query_emb: np.ndarray | jax.Array, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k (scores, row ids) for normalized or raw query embeddings [B, D]."""
+        if self._vectors is None:
+            b = np.asarray(query_emb).shape[0]
+            return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
+        q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
+        k_eff = min(k, self._n)
+        block = min(self.block_n, self._vectors.shape[0])
+        scores, ids = flat_topk(
+            q, self._vectors, jnp.int32(self._n), k=k_eff, block_n=block
+        )
+        return np.asarray(scores), np.asarray(ids)
+
+    def search(
+        self, query_emb: np.ndarray, k: int = 3
+    ) -> List[Tuple[Dict[str, Any], float]]:
+        """Reference-contract search: [(source_dict, score)] (app/main.py:347-373)."""
+        if np.asarray(query_emb).size == 0 or self._n == 0:
+            return []
+        scores, ids = self.search_ids(np.asarray(query_emb), k)
+        out: List[Tuple[Dict[str, Any], float]] = []
+        for score, idx in zip(scores[0], ids[0]):
+            if idx < 0:
+                continue
+            out.append((self.metas[int(idx)], float(score)))
+        return out

@@ -1,0 +1,178 @@
+"""In-process JAX embedding transformer.
+
+Replaces the reference's per-text HTTP calls to Ollama's `mxbai-embed-large`
+(1024-d output; reference app/main.py:131-180, app/embedding_gen.py:140-190)
+with a jitted encoder forward that runs on the same chips as retrieval:
+pre-LN transformer encoder -> masked mean pooling -> projection to 1024-d ->
+L2 normalization (so downstream cosine similarity is a pure dot product,
+reference convention app/main.py:315-316).
+
+Parameters are a plain pytree (dict), making sharding with pjit/NamedSharding
+and checkpointing straightforward. Compute runs in bfloat16 on the MXU with
+float32 accumulation; parameters stay float32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqe_tpu.config import ModelConfig
+from sqe_tpu.data.tokenizer import HashingTokenizer
+from sqe_tpu.ops.attention import multihead_attention
+from sqe_tpu.ops.distance import l2_normalize
+
+Params = Dict[str, Any]
+
+
+def init_embedder_params(cfg: ModelConfig, key: Optional[jax.Array] = None) -> Params:
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    keys = iter(jax.random.split(key, 4 + 8 * cfg.n_layers))
+    dm, dff = cfg.d_model, cfg.d_ff
+    pdtype = jnp.dtype(cfg.param_dtype)
+
+    def dense(k, fan_in, fan_out):
+        scale = (2.0 / (fan_in + fan_out)) ** 0.5
+        return (jax.random.normal(k, (fan_in, fan_out)) * scale).astype(pdtype)
+
+    params: Params = {
+        "tok_emb": (jax.random.normal(next(keys), (cfg.vocab_size, dm)) * 0.02).astype(pdtype),
+        "pos_emb": (jax.random.normal(next(keys), (cfg.max_len, dm)) * 0.02).astype(pdtype),
+        "out_proj": dense(next(keys), dm, cfg.embed_dim),
+        "final_ln": {"scale": jnp.ones((dm,), pdtype), "bias": jnp.zeros((dm,), pdtype)},
+        "layers": [],
+    }
+    for _ in range(cfg.n_layers):
+        params["layers"].append(
+            {
+                "ln1": {"scale": jnp.ones((dm,), pdtype), "bias": jnp.zeros((dm,), pdtype)},
+                "ln2": {"scale": jnp.ones((dm,), pdtype), "bias": jnp.zeros((dm,), pdtype)},
+                "wq": dense(next(keys), dm, dm),
+                "wk": dense(next(keys), dm, dm),
+                "wv": dense(next(keys), dm, dm),
+                "wo": dense(next(keys), dm, dm),
+                "w1": dense(next(keys), dm, dff),
+                "b1": jnp.zeros((dff,), pdtype),
+                "w2": dense(next(keys), dff, dm),
+                "b2": jnp.zeros((dm,), pdtype),
+            }
+        )
+    return params
+
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def embed_forward(
+    params: Params,
+    ids: jax.Array,
+    mask: jax.Array,
+    *,
+    cfg: ModelConfig,
+    attn_impl: str = "xla",
+) -> jax.Array:
+    """Forward pass: [B, L] int32 ids + [B, L] mask -> [B, embed_dim] float32, L2-normed."""
+    dtype = jnp.dtype(cfg.dtype)
+    l = ids.shape[1]
+    x = params["tok_emb"][ids].astype(dtype) + params["pos_emb"][:l][None].astype(dtype)
+
+    for layer in params["layers"]:
+        h = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
+        h = multihead_attention(
+            h, mask,
+            layer["wq"], layer["wk"], layer["wv"], layer["wo"],
+            n_heads=cfg.n_heads, impl=attn_impl,
+        )
+        x = x + h
+        h = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"])
+        h = jnp.einsum("bld,df->blf", h, layer["w1"].astype(dtype)) + layer["b1"].astype(dtype)
+        h = jax.nn.gelu(h)
+        h = jnp.einsum("blf,fd->bld", h, layer["w2"].astype(dtype)) + layer["b2"].astype(dtype)
+        x = x + h
+
+    x = _layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"])
+    # Masked mean pooling.
+    m = mask.astype(jnp.float32)[..., None]
+    pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(
+        jnp.sum(m, axis=1), 1.0
+    )
+    emb = pooled @ params["out_proj"].astype(jnp.float32)
+    return l2_normalize(emb, axis=-1)
+
+
+class Embedder:
+    """Tokenizer + params + jitted forward, with host-side batching.
+
+    This is the drop-in replacement for the reference's
+    ``embed_texts_in_batches`` / ``embed_query`` (app/main.py:148-180): same
+    [N, 1024] float32 contract, but batched on-device instead of per-text HTTP.
+    """
+
+    def __init__(
+        self,
+        cfg: Optional[ModelConfig] = None,
+        params: Optional[Params] = None,
+        attn_impl: Optional[str] = None,
+        device: Optional[jax.Device] = None,
+    ):
+        self.cfg = cfg or ModelConfig()
+        self.tokenizer = HashingTokenizer(self.cfg.vocab_size, self.cfg.max_len)
+        self.device = device
+        if attn_impl is None:
+            platform = (device or jax.devices()[0]).platform
+            attn_impl = "pallas" if platform == "tpu" else "xla"
+        self.attn_impl = attn_impl
+        if params is None:
+            params = init_embedder_params(self.cfg)
+        if device is not None:
+            params = jax.device_put(params, device)
+        self.params = params
+        self._fwd = jax.jit(
+            functools.partial(embed_forward, cfg=self.cfg, attn_impl=self.attn_impl)
+        )
+
+    def embed_tokens(self, ids: np.ndarray, mask: np.ndarray) -> jax.Array:
+        if self.device is not None:
+            ids = jax.device_put(ids, self.device)
+            mask = jax.device_put(mask, self.device)
+        return self._fwd(self.params, ids, mask)
+
+    def embed_texts(
+        self,
+        texts: Sequence[str],
+        batch_size: int = 64,
+        max_len: Optional[int] = None,
+    ) -> np.ndarray:
+        """Embed a list of texts -> [N, embed_dim] float32 (normalized rows).
+
+        Pads the final batch to ``batch_size`` so every device program has a
+        static shape (one compilation).
+        """
+        if not texts:
+            return np.zeros((0, self.cfg.embed_dim), dtype=np.float32)
+        out: List[np.ndarray] = []
+        for i in range(0, len(texts), batch_size):
+            batch = list(texts[i : i + batch_size])
+            n = len(batch)
+            if n < batch_size:
+                batch += [""] * (batch_size - n)
+            ids, mask = self.tokenizer.encode_batch(batch, max_len=max_len)
+            emb = self.embed_tokens(ids, mask)
+            out.append(np.asarray(emb[:n]))
+        return np.concatenate(out, axis=0)
+
+    def embed_query(self, query: str) -> np.ndarray:
+        """Single-query embed -> [1, embed_dim] (reference contract app/main.py:172-180)."""
+        if not query.strip():
+            return np.zeros((0, self.cfg.embed_dim), dtype=np.float32)
+        return self.embed_texts([query], batch_size=1)
