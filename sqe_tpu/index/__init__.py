@@ -1,1 +1,2 @@
 from sqe_tpu.index.flat import FlatIndex  # noqa: F401
+from sqe_tpu.index.hnsw import HNSWIndex  # noqa: F401

@@ -1,0 +1,276 @@
+"""HNSW index with batched on-device beam search.
+
+Replaces OpenSearch's nmslib HNSW query path (reference app/main.py:347-373)
+with a TPU-resident search over the flattened neighbor table produced by
+``hnsw_build``:
+
+- **Seeding**: instead of pointer-chasing down the HNSW hierarchy (hostile to
+  a vector machine), the query batch is scored against a fixed pivot sample of
+  the corpus with a single MXU matmul and the top seeds initialize the beam.
+- **Beam search**: fixed-shape ef-candidate loop. Each iteration expands the
+  best unexplored candidate per query: gather its neighbor row from the flat
+  graph, mask already-seen ids (compare against the candidate list and the
+  explored log — bounded, branch-free dedup), score the gathered neighbor
+  vectors against the query (batched dot), and merge into the running top-ef
+  with one ``lax.top_k``. All queries in the batch advance in lockstep; the
+  whole search is one jitted device program with static shapes.
+
+Termination matches HNSW semantics: a query stops when its candidate list
+holds no unexplored entry (every unexplored candidate worse than the current
+top-ef has been evicted); the batch stops when all queries have stopped or at
+``max_iters``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqe_tpu.config import HNSWConfig
+from sqe_tpu.data.corpus import Chunk
+from sqe_tpu.index import hnsw_build
+from sqe_tpu.ops.distance import l2_normalize
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "ef", "max_iters", "n_seeds")
+)
+def hnsw_search_batch(
+    queries: jax.Array,     # [B, D] normalized f32
+    vectors: jax.Array,     # [N, D] normalized
+    graph: jax.Array,       # [N, M0] int32, -1 padded
+    pivot_ids: jax.Array,   # [S] int32
+    *,
+    k: int,
+    ef: int = 100,
+    max_iters: int = 128,
+    n_seeds: int = 32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched beam search. Returns (scores [B, k], ids [B, k])."""
+    b, d = queries.shape
+    m0 = graph.shape[1]
+    qf = queries.astype(jnp.float32)
+    assert n_seeds <= ef
+
+    # --- Seed the beam: one matmul against the pivot sample.
+    pivot_vecs = vectors[pivot_ids].astype(jnp.float32)          # [S, D]
+    ps = jax.lax.dot_general(
+        qf, pivot_vecs, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                             # [B, S]
+    seed_sims, seed_pos = jax.lax.top_k(ps, n_seeds)
+    seed_ids = pivot_ids[seed_pos].astype(jnp.int32)              # [B, n_seeds]
+
+    pad = ef - n_seeds
+    cand_ids = jnp.concatenate(
+        [seed_ids, jnp.full((b, pad), -1, jnp.int32)], axis=1
+    )
+    cand_sims = jnp.concatenate(
+        [seed_sims, jnp.full((b, pad), -jnp.inf, jnp.float32)], axis=1
+    )
+    explored = jnp.zeros((b, ef), dtype=jnp.bool_)
+    explored_log = jnp.full((b, max_iters), -1, jnp.int32)
+
+    def cond(state):
+        it, cand_ids, cand_sims, explored, explored_log = state
+        avail = (~explored) & (cand_ids >= 0)
+        return (it < max_iters) & jnp.any(avail)
+
+    def body(state):
+        it, cand_ids, cand_sims, explored, explored_log = state
+        avail = (~explored) & (cand_ids >= 0)
+        masked = jnp.where(avail, cand_sims, -jnp.inf)
+        best = jnp.argmax(masked, axis=1)                         # [B]
+        active = jnp.any(avail, axis=1)                           # [B]
+
+        onehot = jax.nn.one_hot(best, ef, dtype=jnp.bool_)
+        explored = explored | (onehot & active[:, None])
+
+        rows = jnp.arange(b)
+        nid = cand_ids[rows, best]
+        nid_safe = jnp.where(active, jnp.maximum(nid, 0), 0)
+        explored_log = jax.lax.dynamic_update_slice(
+            explored_log,
+            jnp.where(active, nid_safe, -1)[:, None],
+            (0, it),
+        )
+
+        nbrs = graph[nid_safe]                                    # [B, M0]
+        valid = (nbrs >= 0) & active[:, None]
+        seen_cand = jnp.any(nbrs[:, :, None] == cand_ids[:, None, :], axis=2)
+        seen_expl = jnp.any(nbrs[:, :, None] == explored_log[:, None, :], axis=2)
+        valid = valid & ~seen_cand & ~seen_expl
+
+        nbr_safe = jnp.where(valid, nbrs, 0)
+        nvecs = vectors[nbr_safe].astype(jnp.float32)             # [B, M0, D]
+        sims = jnp.einsum("bd,bmd->bm", qf, nvecs,
+                          preferred_element_type=jnp.float32)
+        sims = jnp.where(valid, sims, -jnp.inf)
+
+        all_sims = jnp.concatenate([cand_sims, sims], axis=1)     # [B, ef+M0]
+        all_ids = jnp.concatenate([cand_ids, nbrs], axis=1)
+        all_expl = jnp.concatenate(
+            [explored, jnp.zeros((b, m0), jnp.bool_)], axis=1
+        )
+        new_sims, sel = jax.lax.top_k(all_sims, ef)
+        new_ids = jnp.take_along_axis(all_ids, sel, axis=1)
+        new_expl = jnp.take_along_axis(all_expl, sel, axis=1)
+        new_ids = jnp.where(jnp.isfinite(new_sims), new_ids, -1)
+
+        return it + 1, new_ids, new_sims, new_expl, explored_log
+
+    state = (jnp.int32(0), cand_ids, cand_sims, explored, explored_log)
+    _, cand_ids, cand_sims, _, _ = jax.lax.while_loop(cond, body, state)
+
+    out_sims, sel = jax.lax.top_k(cand_sims, k)
+    out_ids = jnp.take_along_axis(cand_ids, sel, axis=1)
+    out_ids = jnp.where(jnp.isfinite(out_sims), out_ids, -1)
+    return out_sims, out_ids
+
+
+class HNSWIndex:
+    """Flat-graph HNSW index: host C++ build, device beam search.
+
+    Mirrors the reference indexer's contract (has_any_data / add_embeddings /
+    search, app/main.py:291-373) with the graph and vectors resident on device.
+    """
+
+    def __init__(
+        self,
+        cfg: Optional[HNSWConfig] = None,
+        embed_dim: int = 1024,
+        n_pivots: int = 1024,
+        vector_dtype: Any = jnp.float32,
+        device: Optional[jax.Device] = None,
+    ):
+        self.cfg = cfg or HNSWConfig()
+        self.embed_dim = embed_dim
+        self.n_pivots = n_pivots
+        self.vector_dtype = vector_dtype
+        self.device = device
+        self.metas: List[Dict[str, Any]] = []
+        self._vectors_host: Optional[np.ndarray] = None   # [N, D] f32 normalized
+        self._graph_host: Optional[np.ndarray] = None     # [N, M0] int32
+        self._levels_host: Optional[np.ndarray] = None
+        self._vectors: Optional[jax.Array] = None
+        self._graph: Optional[jax.Array] = None
+        self._pivots: Optional[jax.Array] = None
+
+    def __len__(self) -> int:
+        return 0 if self._vectors_host is None else self._vectors_host.shape[0]
+
+    def has_any_data(self) -> bool:
+        return len(self) > 0
+
+    def _refresh_device(self) -> None:
+        n = len(self)
+        rng = np.random.default_rng(self.cfg.seed)
+        n_piv = min(self.n_pivots, n)
+        pivots = rng.choice(n, size=n_piv, replace=False).astype(np.int32)
+        put = (lambda x: jax.device_put(x, self.device)) if self.device else jnp.asarray
+        self._vectors = put(self._vectors_host.astype(
+            np.float32 if self.vector_dtype == jnp.float32 else np.float32
+        )).astype(self.vector_dtype)
+        self._graph = put(self._graph_host)
+        self._pivots = put(pivots)
+
+    def build(
+        self,
+        embeddings: np.ndarray,
+        metas: Sequence[Dict[str, Any] | Chunk],
+        force_numpy_builder: bool = False,
+    ) -> None:
+        emb = np.asarray(embeddings, dtype=np.float32)
+        emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
+        graph, levels = hnsw_build.build_graph(
+            emb,
+            M=self.cfg.M,
+            ef_construction=self.cfg.ef_construction,
+            seed=self.cfg.seed,
+            force_numpy=force_numpy_builder,
+        )
+        self._vectors_host = emb
+        self._graph_host = graph
+        self._levels_host = levels
+        self.metas = [
+            {"doc_id": m.doc_id, "text": m.text} if isinstance(m, Chunk) else dict(m)
+            for m in metas
+        ]
+        self._refresh_device()
+
+    def add(
+        self,
+        embeddings: np.ndarray,
+        metas: Sequence[Dict[str, Any] | Chunk],
+    ) -> None:
+        """Incremental insert (the /upload_text path)."""
+        if np.asarray(embeddings).size == 0:
+            return
+        if self._vectors_host is None:
+            self.build(embeddings, metas)
+            return
+        emb = np.asarray(embeddings, dtype=np.float32)
+        emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
+        n_old = len(self)
+        all_vecs = np.concatenate([self._vectors_host, emb], axis=0)
+        graph, levels = hnsw_build.insert_batch(
+            all_vecs,
+            self._graph_host,
+            self._levels_host,
+            n_old,
+            M=self.cfg.M,
+            ef_construction=self.cfg.ef_construction,
+            seed=self.cfg.seed + n_old,
+        )
+        self._vectors_host = all_vecs
+        self._graph_host = graph
+        self._levels_host = levels
+        self.metas.extend(
+            {"doc_id": m.doc_id, "text": m.text} if isinstance(m, Chunk) else dict(m)
+            for m in metas
+        )
+        self._refresh_device()
+
+    def search_ids(
+        self,
+        query_emb: np.ndarray | jax.Array,
+        k: int,
+        ef: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self._vectors is None:
+            b = np.asarray(query_emb).shape[0]
+            return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
+        n = len(self)
+        ef = ef or self.cfg.ef_search
+        ef = max(k, min(ef, n))
+        q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
+        if self.device is not None:
+            q = jax.device_put(q, self.device)
+        scores, ids = hnsw_search_batch(
+            q, self._vectors, self._graph, self._pivots,
+            k=min(k, n),
+            ef=ef,
+            max_iters=ef + 32,
+            n_seeds=min(32, ef, n),
+        )
+        return np.asarray(scores), np.asarray(ids)
+
+    def search(
+        self, query_emb: np.ndarray, k: int = 3
+    ) -> List[Tuple[Dict[str, Any], float]]:
+        """Reference-contract search: [(source_dict, score)] (app/main.py:347-373)."""
+        if np.asarray(query_emb).size == 0 or len(self) == 0:
+            return []
+        scores, ids = self.search_ids(np.asarray(query_emb), k)
+        out: List[Tuple[Dict[str, Any], float]] = []
+        for score, idx in zip(scores[0], ids[0]):
+            if idx < 0:
+                continue
+            out.append((self.metas[int(idx)], float(score)))
+        return out
