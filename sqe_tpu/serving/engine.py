@@ -1,0 +1,311 @@
+"""The RAG engine: one pipeline, two transports.
+
+Unifies the reference's duplicated /ask and /ws/ask pipelines
+(app/main.py:467-548 vs :650-735 — SURVEY.md §3.3) into a single flow:
+
+    embed query (on-device forward)
+    -> semantic-cache probe (device matmul; hit ends the request)
+    -> index search (flat exact or HNSW beam search, optionally sharded)
+    -> context merge + prompt build
+    -> generation backend (non-streaming or streaming)
+    -> chat memory save + cache fill
+
+Differences from the reference are deliberate fixes, not drift:
+- chat memory works (B1: the reference crashed on an uninitialized store);
+- both transports share retrieval/prompt code (the reference copy-pasted);
+- cache hits also bump LFU frequency on the streaming path.
+
+Namespaces give multi-tenant isolation: the default namespace holds the main
+corpus; ``/upload_text`` ingests into per-user namespaces, mirroring the
+reference's per-user OpenSearch indices (embedding_gen.py:83-122).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import os
+from typing import Any, AsyncGenerator, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sqe_tpu.cache import DeviceLFUCache
+from sqe_tpu.config import EngineConfig
+from sqe_tpu.data.corpus import Chunk, chunk_document, load_corpus
+from sqe_tpu.index import FlatIndex, HNSWIndex
+from sqe_tpu.models import Embedder
+from sqe_tpu.serving.generation import EchoBackend, GenerationBackend
+from sqe_tpu.serving.memory import ChatMemoryStore
+from sqe_tpu.serving.prompts import SYSTEM_MESSAGE, build_prompt, merge_context, render_context
+from sqe_tpu.utils import Metrics, StageTimer
+from sqe_tpu.utils import checkpoint as ckpt
+from sqe_tpu.utils.logging import get_logger
+
+log = get_logger("serving.engine")
+
+DEFAULT_NAMESPACE = "default"
+
+
+class RAGEngine:
+    def __init__(
+        self,
+        cfg: Optional[EngineConfig] = None,
+        embedder: Optional[Embedder] = None,
+        index: Optional[Any] = None,
+        cache: Optional[DeviceLFUCache] = None,
+        backend: Optional[GenerationBackend] = None,
+        stream_backend: Optional[GenerationBackend] = None,
+        device: Optional[Any] = None,
+    ):
+        self.cfg = cfg or EngineConfig()
+        self.device = device
+        self.embedder = embedder or Embedder(self.cfg.model, device=device)
+        if index is None:
+            index = self._new_index()
+        self.indices: Dict[str, Any] = {DEFAULT_NAMESPACE: index}
+        self.cache = cache or DeviceLFUCache(self.cfg.cache, device=device)
+        self.backend: GenerationBackend = backend or EchoBackend()
+        self.stream_backend: GenerationBackend = stream_backend or self.backend
+        self.memory = ChatMemoryStore(self.cfg.serve.chat_memory_max_turns)
+        self.metrics = Metrics()
+        self._embed_lock = asyncio.Lock()
+
+    # ------------------------------------------------------------------ index
+
+    def _new_index(self) -> Any:
+        if self.cfg.index_kind == "flat":
+            return FlatIndex(embed_dim=self.cfg.model.embed_dim, device=self.device)
+        return HNSWIndex(
+            self.cfg.hnsw, embed_dim=self.cfg.model.embed_dim, device=self.device
+        )
+
+    @property
+    def index(self) -> Any:
+        return self.indices[DEFAULT_NAMESPACE]
+
+    def get_index(self, namespace: str = DEFAULT_NAMESPACE, create: bool = False) -> Any:
+        idx = self.indices.get(namespace)
+        if idx is None and create:
+            idx = self._new_index()
+            self.indices[namespace] = idx
+        return idx
+
+    # ------------------------------------------------------------ corpus build
+
+    def build_from_corpus(
+        self,
+        corpus_dir: Optional[str] = None,
+        limit_files: Optional[int] = None,
+        prefix: str = "PMC",
+    ) -> int:
+        """Chunk + embed + index the corpus (reference
+        build_embeddings_from_scratch, app/main.py:413-456). Skips when the
+        index already has data (app/main.py:422-424)."""
+        if self.index.has_any_data():
+            log.info("index already has data; skipping corpus build")
+            return len(self.index)
+        corpus_dir = corpus_dir or self.cfg.corpus_dir
+        if not os.path.isdir(corpus_dir):
+            log.warning("corpus dir %s missing; nothing to index", corpus_dir)
+            return 0
+        chunks = load_corpus(corpus_dir, self.cfg.chunk_size, prefix=prefix,
+                             limit_files=limit_files)
+        if not chunks:
+            log.warning("no text found in %s", corpus_dir)
+            return 0
+        return self.ingest_chunks(chunks)
+
+    def ingest_chunks(
+        self, chunks: List[Chunk], namespace: str = DEFAULT_NAMESPACE
+    ) -> int:
+        log.info("embedding %d chunks", len(chunks))
+        with self.metrics.time_stage("corpus_embed"):
+            embs = self.embedder.embed_texts(
+                [c.text for c in chunks], batch_size=self.cfg.batch_size
+            )
+        idx = self.get_index(namespace, create=True)
+        with self.metrics.time_stage("index_build"):
+            if hasattr(idx, "build") and not idx.has_any_data():
+                idx.build(embs, chunks)
+            else:
+                idx.add(embs, chunks)
+        log.info("indexed %d chunks into namespace %s", len(chunks), namespace)
+        return len(chunks)
+
+    def ingest_document(
+        self, doc_id: str, text: str, namespace: str = DEFAULT_NAMESPACE
+    ) -> int:
+        """Chunk + embed + index one document (the /upload_text path,
+        embedding_gen.py:374-407)."""
+        chunks = chunk_document(doc_id, text, self.cfg.chunk_size)
+        if not chunks:
+            return 0
+        embs = self.embedder.embed_texts(
+            [c.text for c in chunks], batch_size=self.cfg.batch_size
+        )
+        idx = self.get_index(namespace, create=True)
+        idx.add(embs, chunks)
+        return len(chunks)
+
+    # ------------------------------------------------------------- checkpoints
+
+    def save_checkpoint(self, path: Optional[str] = None) -> None:
+        path = path or self.cfg.checkpoint_dir
+        assert path, "no checkpoint dir configured"
+        idx = self.index
+        graph = getattr(idx, "_graph_host", None)
+        levels = getattr(idx, "_levels_host", None)
+        vectors = (
+            idx._vectors_host if graph is not None else np.asarray(idx.valid_vectors())
+        )
+        ckpt.save_index(
+            path, vectors, idx.metas, graph=graph, levels=levels,
+            extra={"index_kind": self.cfg.index_kind},
+        )
+        ckpt.save_cache(path, self.cache.snapshot())
+        log.info("checkpoint saved to %s", path)
+
+    def load_checkpoint(self, path: Optional[str] = None) -> bool:
+        path = path or self.cfg.checkpoint_dir
+        if not path:
+            return False
+        state = ckpt.load_index(path)
+        if state is None:
+            return False
+        idx = self._new_index()
+        if "graph" in state and hasattr(idx, "_graph_host"):
+            idx._vectors_host = state["vectors"]
+            idx._graph_host = state["graph"]
+            idx._levels_host = state.get("levels")
+            idx.metas = state["metas"]
+            idx._refresh_device()
+        else:
+            idx.add(state["vectors"], state["metas"])
+        self.indices[DEFAULT_NAMESPACE] = idx
+        cache_state = ckpt.load_cache(path)
+        if cache_state is not None:
+            self.cache.restore(cache_state)
+        log.info("checkpoint loaded from %s (%d vectors)", path, len(idx))
+        return True
+
+    # ---------------------------------------------------------------- pipeline
+
+    async def _embed_query(self, query: str) -> np.ndarray:
+        # The device program is serialized behind a lock; the forward itself
+        # releases the GIL inside XLA, so to_thread keeps the event loop live.
+        async with self._embed_lock:
+            return await asyncio.to_thread(self.embedder.embed_query, query)
+
+    def _search(
+        self, query_emb: np.ndarray, top_k: int, namespace: str
+    ) -> List[Tuple[Dict[str, Any], float]]:
+        idx = self.get_index(namespace)
+        if idx is None or not idx.has_any_data():
+            return []
+        return idx.search(query_emb, k=top_k)
+
+    async def _prepare(
+        self,
+        query: str,
+        top_k: int,
+        chat_history: str = "",
+        namespace: str = DEFAULT_NAMESPACE,
+        timer: Optional[StageTimer] = None,
+    ) -> Tuple[Optional[str], Optional[np.ndarray], Optional[str]]:
+        """Shared front half: embed -> cache probe -> retrieve -> prompt.
+
+        Returns (cached_response, query_emb, prompt). If cached_response is
+        not None the request is complete.
+        """
+        timer = timer or StageTimer(self.metrics)
+        with timer.stage("embed"):
+            query_emb = await self._embed_query(query)
+        with timer.stage("cache_probe"):
+            cached = self.cache.get(query_emb)
+        if cached is not None:
+            self.metrics.inc("cache_hits")
+            return cached, query_emb, None
+        self.metrics.inc("cache_misses")
+        with timer.stage("search"):
+            results = await asyncio.to_thread(
+                self._search, query_emb, top_k, namespace
+            )
+        context_text = render_context(merge_context(results))
+        prompt = build_prompt(query, context_text, chat_history)
+        return None, query_emb, prompt
+
+    async def ask(
+        self,
+        query: str,
+        chat_id: Optional[str] = None,
+        top_k: Optional[int] = None,
+        namespace: str = DEFAULT_NAMESPACE,
+    ) -> str:
+        """Full non-streaming pipeline (reference RAGModel.ask, app/main.py:467-548)."""
+        if not query.strip():
+            return "[ERROR] Empty query."
+        top_k = top_k or self.cfg.serve.top_k_default
+        timer = StageTimer(self.metrics)
+        self.metrics.inc("queries")
+
+        memory = self.memory.get(chat_id) if chat_id else None
+        chat_history = memory.buffer_as_str if memory else ""
+
+        cached, query_emb, prompt = await self._prepare(
+            query, top_k, chat_history, namespace, timer
+        )
+        if cached is not None:
+            return cached
+
+        with timer.stage("generate"):
+            answer = await self.backend.generate(prompt, SYSTEM_MESSAGE)
+        if not answer:
+            return "Error: No response was generated. Please try later!"
+
+        if memory is not None:
+            memory.save_context(query, answer)
+        self.cache.put(query_emb, answer)
+        return answer
+
+    async def ask_stream(
+        self,
+        query: str,
+        top_k: Optional[int] = None,
+        namespace: str = DEFAULT_NAMESPACE,
+    ) -> AsyncGenerator[str, None]:
+        """Streaming pipeline (reference WS path, app/main.py:650-735): yields
+        chunks; a cache hit yields the full cached answer as one chunk; the
+        completed answer is cached after the stream ends."""
+        if not query.strip():
+            yield "[ERROR] Empty query."
+            return
+        top_k = top_k or self.cfg.serve.top_k_default
+        timer = StageTimer(self.metrics)
+        self.metrics.inc("queries")
+
+        cached, query_emb, prompt = await self._prepare(
+            query, top_k, "", namespace, timer
+        )
+        if cached is not None:
+            yield cached
+            return
+
+        chunks: List[str] = []
+        with timer.stage("generate"):
+            async for chunk in self.stream_backend.stream(prompt, SYSTEM_MESSAGE):
+                chunks.append(chunk)
+                yield chunk
+        final = "".join(chunks)
+        if final.strip() and not final.startswith("[ERROR]"):
+            self.cache.put(query_emb, final)
+
+    def stats(self) -> dict:
+        out = self.metrics.summary()
+        out["index"] = {
+            ns: len(idx) for ns, idx in self.indices.items()
+        }
+        out["cache"] = {
+            "size": len(self.cache),
+            "hits": self.cache.hits,
+            "misses": self.cache.misses,
+        }
+        return out

@@ -1,0 +1,91 @@
+"""Index / cache checkpointing.
+
+The reference's only persistence was "skip embedding if OpenSearch already has
+data" (app/main.py:422-424) — the index itself lived inside OpenSearch. Here
+the engine owns its state, so vectors, the flat HNSW graph, pivot metadata and
+the semantic-cache snapshot serialize to an ``.npz`` + JSON sidecar and reload
+straight to HBM at startup. Chunk metadata (doc_id/text) goes in a JSONL file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def save_index(
+    path: str,
+    vectors: np.ndarray,
+    metas: List[Dict[str, Any]],
+    graph: Optional[np.ndarray] = None,
+    levels: Optional[np.ndarray] = None,
+    extra: Optional[dict] = None,
+) -> None:
+    os.makedirs(path, exist_ok=True)
+    arrays = {"vectors": vectors}
+    if graph is not None:
+        arrays["graph"] = graph
+    if levels is not None:
+        arrays["levels"] = levels
+    np.savez(os.path.join(path, "index.npz"), **arrays)
+    with open(os.path.join(path, "metas.jsonl"), "w", encoding="utf-8") as f:
+        for m in metas:
+            f.write(json.dumps(m) + "\n")
+    manifest = {"version": FORMAT_VERSION, "n": int(vectors.shape[0])}
+    if extra:
+        manifest.update(extra)
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def load_index(path: str) -> Optional[dict]:
+    manifest_path = os.path.join(path, "manifest.json")
+    if not os.path.exists(manifest_path):
+        return None
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    data = np.load(os.path.join(path, "index.npz"))
+    metas: List[Dict[str, Any]] = []
+    with open(os.path.join(path, "metas.jsonl"), encoding="utf-8") as f:
+        for line in f:
+            if line.strip():
+                metas.append(json.loads(line))
+    out = {"manifest": manifest, "vectors": data["vectors"], "metas": metas}
+    for key in ("graph", "levels"):
+        if key in data:
+            out[key] = data[key]
+    return out
+
+
+def save_cache(path: str, snapshot: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    np.savez(
+        os.path.join(path, "cache.npz"),
+        keys=snapshot["keys"],
+        freqs=snapshot["freqs"],
+        valid=snapshot["valid"],
+    )
+    with open(os.path.join(path, "cache_responses.json"), "w", encoding="utf-8") as f:
+        json.dump({"responses": snapshot["responses"], "size": snapshot["size"]}, f)
+
+
+def load_cache(path: str) -> Optional[dict]:
+    npz = os.path.join(path, "cache.npz")
+    side = os.path.join(path, "cache_responses.json")
+    if not (os.path.exists(npz) and os.path.exists(side)):
+        return None
+    data = np.load(npz)
+    with open(side, encoding="utf-8") as f:
+        host = json.load(f)
+    return {
+        "keys": data["keys"],
+        "freqs": data["freqs"],
+        "valid": data["valid"],
+        "responses": host["responses"],
+        "size": host["size"],
+    }
