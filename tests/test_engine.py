@@ -1,0 +1,98 @@
+"""End-to-end engine pipeline with the offline generation backend
+(SURVEY.md §4 'integration' — the LLM call is the only stubbed dependency)."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from sqe_tpu.data.corpus import Chunk
+from sqe_tpu.serving.engine import RAGEngine
+from sqe_tpu.serving.generation import EchoBackend
+
+
+@pytest.fixture(scope="module")
+def engine(small_engine_cfg, cpu_device):
+    eng = RAGEngine(small_engine_cfg, device=cpu_device, backend=EchoBackend())
+    chunks = [
+        Chunk(f"PMC{i}.txt", 0, f"medical document {i} about organ{i} function")
+        for i in range(24)
+    ]
+    eng.ingest_chunks(chunks)
+    return eng
+
+
+def test_ask_answers_with_citations(engine):
+    answer = asyncio.run(engine.ask("tell me about organ3", chat_id="c1"))
+    assert "Document PMC" in answer
+    assert ".txt" not in answer  # extension-free citation contract
+
+
+def test_empty_query_guard(engine):
+    assert asyncio.run(engine.ask("   ", chat_id="c1")) == "[ERROR] Empty query."
+
+
+def test_cache_hit_on_repeat(engine):
+    q = "a very specific question about organ7"
+    first = asyncio.run(engine.ask(q, chat_id="c2"))
+    hits_before = engine.cache.hits
+    second = asyncio.run(engine.ask(q, chat_id="c2"))
+    assert second == first
+    assert engine.cache.hits == hits_before + 1
+
+
+def test_chat_memory_accumulates(engine):
+    asyncio.run(engine.ask("unique question alpha zulu", chat_id="mem1"))
+    mem = engine.memory.get("mem1")
+    assert "unique question alpha zulu" in mem.buffer_as_str
+
+
+def test_ask_without_chat_id_skips_memory(engine):
+    n = len(engine.memory)
+    answer = asyncio.run(engine.ask("stateless question bravo"))
+    assert answer
+    assert len(engine.memory) == n
+
+
+def test_stream_yields_chunks_and_caches(engine):
+    async def collect():
+        return [c async for c in engine.ask_stream("streaming question charlie")]
+
+    chunks = asyncio.run(collect())
+    assert len(chunks) > 1
+    full = "".join(chunks)
+    # Stream result is cached: a repeat ask returns the joined answer.
+    again = asyncio.run(engine.ask("streaming question charlie", chat_id="x"))
+    assert again == full
+
+
+def test_failed_generation_message(small_engine_cfg, cpu_device):
+    class NoneBackend:
+        async def generate(self, prompt, system_msg=""):
+            return None
+
+        async def stream(self, prompt, system_msg=""):
+            yield "[ERROR] nope"
+
+    eng = RAGEngine(small_engine_cfg, device=cpu_device, backend=NoneBackend())
+    eng.ingest_chunks([Chunk("PMC0.txt", 0, "text")])
+    answer = asyncio.run(eng.ask("q", chat_id="c"))
+    assert answer == "Error: No response was generated. Please try later!"
+
+
+def test_stats_shape(engine):
+    stats = engine.stats()
+    assert "index" in stats and "cache" in stats and "stages" in stats
+    assert stats["index"]["default"] == 24
+
+
+def test_checkpoint_roundtrip(engine, tmp_path):
+    path = str(tmp_path / "ckpt")
+    engine.save_checkpoint(path)
+    eng2 = RAGEngine(engine.cfg, device=None, backend=EchoBackend())
+    assert eng2.load_checkpoint(path)
+    assert len(eng2.index) == len(engine.index)
+    q = np.asarray(engine.embedder.embed_query("organ5 function"))
+    r1 = engine.index.search(q, k=3)
+    r2 = eng2.index.search(q, k=3)
+    assert [m["doc_id"] for m, _ in r1] == [m["doc_id"] for m, _ in r2]

@@ -1,0 +1,67 @@
+import numpy as np
+
+from sqe_tpu.index import FlatIndex
+
+
+def _numpy_topk(vecs, queries, k):
+    vecs = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-9)
+    queries = queries / (np.linalg.norm(queries, axis=1, keepdims=True) + 1e-9)
+    scores = queries @ vecs.T
+    ids = np.argsort(-scores, axis=1)[:, :k]
+    return np.take_along_axis(scores, ids, axis=1), ids
+
+
+def test_flat_matches_numpy_oracle(rng, cpu_device):
+    n, d, q, k = 1000, 32, 8, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    idx = FlatIndex(embed_dim=d, block_n=128, device=cpu_device)
+    idx.add(vecs, [{"doc_id": f"d{i}", "text": ""} for i in range(n)])
+    scores, ids = idx.search_ids(queries, k)
+    ref_scores, ref_ids = _numpy_topk(vecs, queries, k)
+    np.testing.assert_array_equal(np.sort(ids, 1), np.sort(ref_ids, 1))
+    np.testing.assert_allclose(np.sort(scores, 1), np.sort(ref_scores, 1), atol=1e-5)
+
+
+def test_flat_blocked_equals_unblocked(rng, cpu_device):
+    n, d = 512, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((4, d)).astype(np.float32)
+    metas = [{"doc_id": str(i), "text": ""} for i in range(n)]
+    small = FlatIndex(embed_dim=d, block_n=64, device=cpu_device)
+    big = FlatIndex(embed_dim=d, block_n=512, device=cpu_device)
+    small.add(vecs, metas)
+    big.add(vecs, metas)
+    _, ids_a = small.search_ids(queries, 7)
+    _, ids_b = big.search_ids(queries, 7)
+    np.testing.assert_array_equal(np.sort(ids_a, 1), np.sort(ids_b, 1))
+
+
+def test_incremental_add(rng, cpu_device):
+    d = 16
+    idx = FlatIndex(embed_dim=d, block_n=32, device=cpu_device)
+    a = rng.standard_normal((10, d)).astype(np.float32)
+    b = rng.standard_normal((15, d)).astype(np.float32)
+    idx.add(a, [{"doc_id": f"a{i}", "text": ""} for i in range(10)])
+    idx.add(b, [{"doc_id": f"b{i}", "text": ""} for i in range(15)])
+    assert len(idx) == 25
+    all_vecs = np.concatenate([a, b])
+    _, ref_ids = _numpy_topk(all_vecs, a[:2], 5)
+    _, ids = idx.search_ids(a[:2], 5)
+    np.testing.assert_array_equal(np.sort(ids, 1), np.sort(ref_ids, 1))
+
+
+def test_search_contract(rng, cpu_device):
+    d = 8
+    idx = FlatIndex(embed_dim=d, device=cpu_device)
+    assert idx.search(np.zeros((1, d), np.float32), 3) == []
+    assert not idx.has_any_data()
+    vecs = rng.standard_normal((5, d)).astype(np.float32)
+    idx.add(vecs, [{"doc_id": f"d{i}", "text": f"t{i}"} for i in range(5)])
+    assert idx.has_any_data()
+    res = idx.search(vecs[:1], k=3)
+    assert len(res) == 3
+    assert res[0][0]["doc_id"] == "d0"      # self-match is the best hit
+    assert res[0][1] > 0.999
+    # Empty query embedding -> [] (reference app/main.py:350-351).
+    assert idx.search(np.zeros((0, d), np.float32), 3) == []

@@ -1,0 +1,33 @@
+import numpy as np
+
+from sqe_tpu.data.tokenizer import CLS_ID, N_SPECIAL, PAD_ID, UNK_ID, HashingTokenizer
+
+
+def test_determinism():
+    t1 = HashingTokenizer(4096, 16)
+    t2 = HashingTokenizer(4096, 16)
+    assert t1.tokenize("The heart pumps blood") == t2.tokenize("the HEART pumps blood")
+
+
+def test_id_range():
+    t = HashingTokenizer(4096, 16)
+    ids = t.tokenize("alpha beta gamma delta")
+    assert all(N_SPECIAL <= i < 4096 for i in ids)
+
+
+def test_static_shapes_and_mask():
+    t = HashingTokenizer(4096, 8)
+    ids, mask = t.encode_batch(["one two three", ""])
+    assert ids.shape == (2, 8) and mask.shape == (2, 8)
+    assert ids[0, 0] == CLS_ID
+    assert mask[0].sum() == 4  # CLS + 3 words
+    # empty text -> CLS + UNK
+    assert ids[1, 1] == UNK_ID
+    assert ids[0, 4] == PAD_ID
+
+
+def test_truncation():
+    t = HashingTokenizer(4096, 4)
+    ids, mask = t.encode_batch(["a b c d e f g"])
+    assert mask[0].sum() == 4
+    assert ids.shape == (1, 4)
