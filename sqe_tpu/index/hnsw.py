@@ -185,16 +185,28 @@ class HNSWIndex:
         embeddings: np.ndarray,
         metas: Sequence[Dict[str, Any] | Chunk],
         force_numpy_builder: bool = False,
+        builder: str = "host",
     ) -> None:
+        """Build the graph. ``builder``: 'host' (C++ hierarchical insert),
+        'device' (TPU blocked-kNN + occlusion pruning, device_build.py), or
+        'numpy' (fallback)."""
         emb = np.asarray(embeddings, dtype=np.float32)
         emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
-        graph, levels = hnsw_build.build_graph(
-            emb,
-            M=self.cfg.M,
-            ef_construction=self.cfg.ef_construction,
-            seed=self.cfg.seed,
-            force_numpy=force_numpy_builder,
-        )
+        if force_numpy_builder:
+            builder = "numpy"
+        if builder == "device":
+            from sqe_tpu.index.device_build import build_graph_device
+
+            graph = build_graph_device(emb, M=self.cfg.M, device=self.device)
+            levels = np.zeros((emb.shape[0],), np.int32)
+        else:
+            graph, levels = hnsw_build.build_graph(
+                emb,
+                M=self.cfg.M,
+                ef_construction=self.cfg.ef_construction,
+                seed=self.cfg.seed,
+                force_numpy=(builder == "numpy"),
+            )
         self._vectors_host = emb
         self._graph_host = graph
         self._levels_host = levels
