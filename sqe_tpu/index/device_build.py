@@ -33,30 +33,54 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("k", "m"))
+@functools.partial(jax.jit, static_argnames=("k", "m", "chunk"))
 def _block_knn_prune(
     block_vecs: jax.Array,   # [B, D] normalized
-    all_vecs: jax.Array,     # [N, D] normalized
+    all_vecs: jax.Array,     # [N, D] normalized, N a multiple of `chunk`
     block_ids: jax.Array,    # [B] global ids of the block rows
     valid_n: jax.Array,      # scalar: real row count in all_vecs
     *,
     k: int,
     m: int,
+    chunk: int = 8192,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k neighbors for a block of nodes, occlusion-pruned to m.
+
+    The corpus axis is consumed in chunks with a running top-k merge — a
+    top-k over 2k candidates per chunk is far cheaper than one top-k over N
+    lanes, and the [B, chunk] score tile stays small in HBM.
 
     Returns (chosen_ids [B, m] int32 with -1 padding, knn_ids [B, k]).
     """
     b, d = block_vecs.shape
     n = all_vecs.shape[0]
-    scores = jax.lax.dot_general(
-        block_vecs.astype(jnp.float32), all_vecs.astype(jnp.float32),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )                                                           # [B, N]
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
-    scores = jnp.where(col == block_ids[:, None], -jnp.inf, scores)  # no self
-    scores = jnp.where(col < valid_n, scores, -jnp.inf)              # no pad
-    top_s, top_i = jax.lax.top_k(scores, k)                     # [B, K]
+    nc = n // chunk
+    bf = block_vecs.astype(jnp.float32)
+
+    def scan_body(carry, blk):
+        top_s, top_i = carry
+        chunk_vecs, base = blk
+        s = jax.lax.dot_general(
+            bf, chunk_vecs.astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )                                                       # [B, chunk]
+        ids = base + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
+        s = jnp.where(ids == block_ids[:, None], -jnp.inf, s)   # no self
+        s = jnp.where(ids < valid_n, s, -jnp.inf)               # no pad
+        cs, ci_local = jax.lax.top_k(s, k)
+        ci = jnp.take_along_axis(ids, ci_local, axis=1)
+        ms, sel = jax.lax.top_k(jnp.concatenate([top_s, cs], axis=1), k)
+        mi = jnp.take_along_axis(jnp.concatenate([top_i, ci], axis=1), sel, axis=1)
+        return (ms, mi), None
+
+    init = (
+        jnp.full((b, k), -jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    chunks = all_vecs.reshape(nc, chunk, d)
+    bases = jnp.arange(nc, dtype=jnp.int32) * chunk
+    (top_s, top_i), _ = jax.lax.scan(scan_body, init, (chunks, bases))
+    top_i = jnp.maximum(top_i, 0)
     cand_valid = jnp.isfinite(top_s)
 
     cand_vecs = all_vecs[top_i].astype(jnp.float32)             # [B, K, D]
@@ -106,7 +130,8 @@ def build_graph_device(
     vecs = jnp.asarray(vectors, dtype=jnp.float32)
     if device is not None:
         vecs = jax.device_put(vecs, device)
-    # Pad corpus rows so every block program has identical shape.
+    # Pad corpus rows so every block/chunk program has identical shape.
+    chunk = block
     n_pad = -(-n // block) * block
     if n_pad != n:
         vecs_p = jnp.concatenate(
@@ -114,12 +139,14 @@ def build_graph_device(
         )
     else:
         vecs_p = vecs
+    chunk = min(chunk, vecs_p.shape[0])
 
     forward = np.full((n, M), -1, dtype=np.int32)
     for start in range(0, n, block):
         ids = jnp.arange(start, start + block, dtype=jnp.int32)
         chosen, _ = _block_knn_prune(
-            vecs_p[start : start + block], vecs_p, ids, jnp.int32(n), k=k, m=M
+            vecs_p[start : start + block], vecs_p, ids, jnp.int32(n),
+            k=k, m=M, chunk=chunk,
         )
         stop = min(start + block, n)
         forward[start:stop] = np.asarray(chosen[: stop - start])

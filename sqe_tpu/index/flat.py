@@ -33,7 +33,7 @@ def _pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_n"))
+@functools.partial(jax.jit, static_argnames=("k", "block_n", "exact"))
 def flat_topk(
     queries: jax.Array,      # [B, D] normalized
     vectors: jax.Array,      # [N, D] normalized (N padded to block_n; pad rows are 0)
@@ -41,12 +41,20 @@ def flat_topk(
     *,
     k: int,
     block_n: int = 131072,
+    exact: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Blocked exact top-k by cosine. Returns (scores [B,k], ids [B,k])."""
+    """Blocked exact top-k by cosine. Returns (scores [B,k], ids [B,k]).
+
+    ``exact=True`` forces full-f32 multiplication (Precision.HIGHEST): on TPU
+    the default f32 matmul decomposes into bf16 passes whose ~1e-3 noise is
+    fine for serving but not for a ground-truth oracle — near-ties between
+    corpus vectors would make "exact" ids nondeterministic.
+    """
     n = vectors.shape[0]
     b = queries.shape[0]
     nb = n // block_n
     qf = queries.astype(jnp.float32)
+    precision = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
 
     def scan_body(carry, blk):
         top_s, top_i = carry
@@ -55,6 +63,7 @@ def flat_topk(
             qf, block_vecs.astype(jnp.float32),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )                                                  # [B, block_n]
         ids = base + jax.lax.broadcasted_iota(jnp.int32, (b, block_n), 1)
         s = jnp.where(ids < valid_n, s, -jnp.inf)

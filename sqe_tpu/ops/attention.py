@@ -25,7 +25,7 @@ NEG_INF = -1e9
 def _flash_attention_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, bk: int, scale: float):
     """One q-block of online-softmax attention for a single (batch, head).
 
-    q_ref: [1, BQ, D]; k_ref/v_ref: [1, L, D]; bias_ref: [1, L]; o_ref: [1, BQ, D].
+    q_ref: [1, BQ, D]; k_ref/v_ref: [1, L, D]; bias_ref: [1, 1, L]; o_ref: [1, BQ, D].
     """
     q = q_ref[0].astype(jnp.float32) * scale          # [BQ, D]
     bq, d = q.shape
@@ -40,7 +40,7 @@ def _flash_attention_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, bk: int, sc
         m, l, acc = carry
         k = k_ref[0, pl.ds(j * bk, bk), :].astype(jnp.float32)      # [BK, D]
         v = v_ref[0, pl.ds(j * bk, bk), :].astype(jnp.float32)      # [BK, D]
-        bias = bias_ref[0, pl.ds(j * bk, bk)].astype(jnp.float32)   # [BK]
+        bias = bias_ref[0, 0, pl.ds(j * bk, bk)].astype(jnp.float32)  # [BK]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                            # [BQ, BK]
@@ -85,12 +85,12 @@ def _flash_attention(
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l), lambda i, j: (i // h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l), lambda i, j: (i // h, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, l, d), q.dtype),
         interpret=interpret,
-    )(q, k, v, bias)
+    )(q, k, v, bias[:, None, :])
 
 
 def _xla_attention(q, k, v, bias):

@@ -221,7 +221,8 @@ class ShardedHNSWIndex:
         self.metas = [_to_meta(m) for m in metas]
         self._search_fn = None
 
-    def _make_search(self, k: int, ef: int, n_seeds: int, max_iters: int):
+    def _make_search(self, k: int, ef: int, n_seeds: int, max_iters: int,
+                     expand: int = 4):
         s = self._shard_rows
         n_real = self._n
         axis = self.axis
@@ -232,6 +233,7 @@ class ShardedHNSWIndex:
             scores, ids = hnsw_search_batch(
                 q, vecs, graph, pivots,
                 k=k, ef=ef, max_iters=max_iters, n_seeds=n_seeds,
+                expand=expand,
             )
             # Mask pad rows (global id >= n_real) and rebase to global ids.
             gids = jnp.where(ids >= 0, ids + base, -1)
@@ -263,8 +265,9 @@ class ShardedHNSWIndex:
         k_eff = min(k, self._shard_rows)
         ef = max(k_eff, min(ef, self._shard_rows))
         n_seeds = min(32, ef)
-        max_iters = ef + 32
-        key = (k_eff, ef, n_seeds, max_iters)
+        expand = max(1, min(4, ef))
+        max_iters = ef // expand + 32
+        key = (k_eff, ef, n_seeds, max_iters, expand)
         if self._search_fn is None or self._search_fn[0] != key:
             self._search_fn = (key, self._make_search(*key))
         q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))

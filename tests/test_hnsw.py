@@ -83,7 +83,7 @@ def test_device_search_matches_host_oracle(corpus, cpu_device):
     idx.build(vecs, [{"doc_id": str(i), "text": ""} for i in range(n)])
     graph = idx._graph_host
     pivots = np.asarray(idx._pivots)
-    _, ids = idx.search_ids(queries, 10, ef=48)
+    _, ids = idx.search_ids(queries, 10, ef=48, expand=1)
     for qi in range(len(queries)):
         ps = vecs[pivots] @ queries[qi]
         seeds = pivots[np.argsort(-ps)[:32]]
