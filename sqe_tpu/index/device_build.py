@@ -141,15 +141,25 @@ def build_graph_device(
         vecs_p = vecs
     chunk = min(chunk, vecs_p.shape[0])
 
-    forward = np.full((n, M), -1, dtype=np.int32)
-    for start in range(0, n, block):
-        ids = jnp.arange(start, start + block, dtype=jnp.int32)
-        chosen, _ = _block_knn_prune(
-            vecs_p[start : start + block], vecs_p, ids, jnp.int32(n),
-            k=k, m=M, chunk=chunk,
-        )
-        stop = min(start + block, n)
-        forward[start:stop] = np.asarray(chosen[: stop - start])
+    n_blocks = vecs_p.shape[0] // block
+
+    @functools.partial(jax.jit, static_argnames=("k", "m", "chunk"))
+    def all_blocks(vecs_p, valid_n, *, k, m, chunk):
+        def one(start):
+            ids = start + jnp.arange(block, dtype=jnp.int32)
+            chosen, _ = _block_knn_prune(
+                jax.lax.dynamic_slice_in_dim(vecs_p, start, block, axis=0),
+                vecs_p, ids, valid_n, k=k, m=m, chunk=chunk,
+            )
+            return chosen
+
+        starts = jnp.arange(n_blocks, dtype=jnp.int32) * block
+        # One device program for the whole forward pass: no per-block host
+        # round-trips, one transfer of the [n, M] result at the end.
+        return jax.lax.map(one, starts)
+
+    chosen = all_blocks(vecs_p, jnp.int32(n), k=k, m=M, chunk=chunk)
+    forward = np.asarray(chosen).reshape(-1, M)[:n]
 
     return _add_reverse_edges(forward, n, m0)
 

@@ -40,7 +40,10 @@ NEG_INF = jnp.float32(-jnp.inf)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "max_iters", "n_seeds", "expand", "fused_gather"),
+    static_argnames=(
+        "k", "ef", "max_iters", "n_seeds", "expand", "fused_gather",
+        "approx_merge",
+    ),
 )
 def hnsw_search_batch(
     queries: jax.Array,     # [B, D] normalized f32
@@ -55,6 +58,7 @@ def hnsw_search_batch(
     n_seeds: int = 32,
     expand: int = 4,
     fused_gather: bool = False,
+    approx_merge: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched beam search. Returns (scores [B, k], ids [B, k]).
 
@@ -150,7 +154,15 @@ def hnsw_search_batch(
         all_expl = jnp.concatenate(
             [explored, jnp.zeros((b, em), jnp.bool_)], axis=1
         )
-        new_sims, sel = jax.lax.top_k(all_sims, ef)
+        if approx_merge:
+            # TPU-optimized aggregation: much cheaper than the sort-based
+            # top_k; the beam is a heuristic frontier, so approximate
+            # membership trades negligible recall for per-iteration latency.
+            new_sims, sel = jax.lax.approx_max_k(
+                all_sims, ef, recall_target=0.95
+            )
+        else:
+            new_sims, sel = jax.lax.top_k(all_sims, ef)
         new_ids = jnp.take_along_axis(all_ids, sel, axis=1)
         new_expl = jnp.take_along_axis(all_expl, sel, axis=1)
         new_ids = jnp.where(jnp.isfinite(new_sims), new_ids, -1)
@@ -311,7 +323,7 @@ class HNSWIndex:
         query_emb: np.ndarray | jax.Array,
         k: int,
         ef: Optional[int] = None,
-        expand: int = 4,
+        expand: int = 8,
     ) -> Tuple[np.ndarray, np.ndarray]:
         if self._vectors is None:
             b = np.asarray(query_emb).shape[0]

@@ -265,7 +265,7 @@ class ShardedHNSWIndex:
         k_eff = min(k, self._shard_rows)
         ef = max(k_eff, min(ef, self._shard_rows))
         n_seeds = min(32, ef)
-        expand = max(1, min(4, ef))
+        expand = max(1, min(8, ef))
         max_iters = ef // expand + 32
         key = (k_eff, ef, n_seeds, max_iters, expand)
         if self._search_fn is None or self._search_fn[0] != key:
