@@ -52,13 +52,19 @@ class RetrievalBatcher:
         self.max_batch = max_batch
         self.flush_ms = flush_ms
         self.top_k = top_k
-        self._queue: asyncio.Queue = asyncio.Queue()
+        self._queue: Optional[asyncio.Queue] = None
         self._task: Optional[asyncio.Task] = None
+        self._loop = None
         self.batches = 0
         self.requests = 0
 
     async def start(self) -> None:
-        if self._task is None:
+        loop = asyncio.get_running_loop()
+        if self._task is None or self._loop is not loop:
+            # A fresh event loop (e.g. a new asyncio.run) needs a fresh queue:
+            # asyncio primitives bind to the loop they were first used on.
+            self._queue = asyncio.Queue()
+            self._loop = loop
             self._task = asyncio.create_task(self._run())
 
     async def stop(self) -> None:

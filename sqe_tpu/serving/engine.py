@@ -55,6 +55,7 @@ class RAGEngine:
         backend: Optional[GenerationBackend] = None,
         stream_backend: Optional[GenerationBackend] = None,
         device: Optional[Any] = None,
+        batching: bool = False,
     ):
         self.cfg = cfg or EngineConfig()
         self.device = device
@@ -68,6 +69,8 @@ class RAGEngine:
         self.memory = ChatMemoryStore(self.cfg.serve.chat_memory_max_turns)
         self.metrics = Metrics()
         self._embed_lock = asyncio.Lock()
+        self.batching = batching
+        self._batcher = None
 
     # ------------------------------------------------------------------ index
 
@@ -217,21 +220,43 @@ class RAGEngine:
         not None the request is complete.
         """
         timer = timer or StageTimer(self.metrics)
-        with timer.stage("embed"):
-            query_emb = await self._embed_query(query)
-        with timer.stage("cache_probe"):
-            cached = self.cache.get(query_emb)
-        if cached is not None:
-            self.metrics.inc("cache_hits")
-            return cached, query_emb, None
-        self.metrics.inc("cache_misses")
-        with timer.stage("search"):
-            results = await asyncio.to_thread(
-                self._search, query_emb, top_k, namespace
-            )
+        if self.batching and namespace == DEFAULT_NAMESPACE:
+            # Coalesced path: embed + cache probe + search shared with other
+            # concurrent requests (serving/batcher.py).
+            with timer.stage("retrieve_batched"):
+                res = await self._get_batcher().retrieve(query, top_k)
+            if res.cached is not None:
+                self.metrics.inc("cache_hits")
+                return res.cached, res.query_emb, None
+            self.metrics.inc("cache_misses")
+            results = res.results
+            query_emb = res.query_emb
+        else:
+            with timer.stage("embed"):
+                query_emb = await self._embed_query(query)
+            with timer.stage("cache_probe"):
+                cached = self.cache.get(query_emb)
+            if cached is not None:
+                self.metrics.inc("cache_hits")
+                return cached, query_emb, None
+            self.metrics.inc("cache_misses")
+            with timer.stage("search"):
+                results = await asyncio.to_thread(
+                    self._search, query_emb, top_k, namespace
+                )
         context_text = render_context(merge_context(results))
         prompt = build_prompt(query, context_text, chat_history)
         return None, query_emb, prompt
+
+    def _get_batcher(self):
+        if self._batcher is None:
+            from sqe_tpu.serving.batcher import RetrievalBatcher
+
+            self._batcher = RetrievalBatcher(
+                self.embedder, self.cache, self.index,
+                top_k=self.cfg.serve.top_k_default,
+            )
+        return self._batcher
 
     async def ask(
         self,
