@@ -44,6 +44,9 @@ def main():
 
     from sqe_tpu.config import HNSWConfig
     from sqe_tpu.index import FlatIndex, HNSWIndex
+    from sqe_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
 
     backend = jax.default_backend()
     device = jax.devices()[0]

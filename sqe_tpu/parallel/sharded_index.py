@@ -147,6 +147,9 @@ class ShardedHNSWIndex:
     (SURVEY.md §5 long-context row).
     """
 
+    # Per-shard byte budget for the neighbor-materialized fused layout.
+    FUSED_LAYOUT_MAX_BYTES = 8 << 30
+
     def __init__(
         self,
         mesh: Mesh,
@@ -154,20 +157,39 @@ class ShardedHNSWIndex:
         embed_dim: int = 1024,
         axis: str = "shard",
         n_pivots: int = 1024,
+        vector_dtype: Any = jnp.float32,
+        layout: str = "auto",
     ):
         self.mesh = mesh
         self.cfg = cfg or HNSWConfig()
         self.embed_dim = embed_dim
         self.axis = axis
         self.n_pivots = n_pivots
+        self.vector_dtype = vector_dtype
+        self.layout = layout
         self.n_shards = mesh.shape[axis]
         self.metas: List[Dict[str, Any]] = []
         self._vectors: Optional[jax.Array] = None   # [ns*S, D] sharded
         self._graph: Optional[jax.Array] = None     # [ns*S, M0] sharded (local ids)
         self._pivots: Optional[jax.Array] = None    # [ns*P] sharded (local ids)
+        self._nbr_vecs: Optional[jax.Array] = None  # [ns*S, M0, D] fused layout
         self._shard_rows = 0
         self._n = 0
         self._search_fn = None
+
+    def _use_fused(self) -> bool:
+        if self.layout == "plain":
+            return False
+        platform = next(iter(self.mesh.devices.flatten())).platform
+        if platform != "tpu":
+            return False
+        if self.layout == "fused":
+            return True
+        per_shard = (
+            self._shard_rows * self.cfg.M0 * self.embed_dim
+            * jnp.dtype(self.vector_dtype).itemsize
+        )
+        return per_shard <= self.FUSED_LAYOUT_MAX_BYTES
 
     def __len__(self) -> int:
         return self._n
@@ -213,27 +235,44 @@ class ShardedHNSWIndex:
 
         vsh = NamedSharding(self.mesh, P(self.axis, None))
         psh = NamedSharding(self.mesh, P(self.axis))
-        self._vectors = jax.device_put(jnp.asarray(np.concatenate(vec_blocks)), vsh)
+        self._vectors = jax.device_put(
+            jnp.asarray(np.concatenate(vec_blocks), dtype=self.vector_dtype), vsh
+        )
         self._graph = jax.device_put(jnp.asarray(np.concatenate(graph_blocks)), vsh)
         self._pivots = jax.device_put(jnp.asarray(np.concatenate(pivot_blocks)), psh)
         self._shard_rows = s
         self._n = n
         self.metas = [_to_meta(m) for m in metas]
         self._search_fn = None
+        self._nbr_vecs = None
+        if self._use_fused():
+            # Per-shard neighbor-materialized layout: the gather uses LOCAL
+            # graph ids, so it must run shard-locally under shard_map.
+            build = jax.jit(
+                jax.shard_map(
+                    lambda v, g: jnp.take(v, jnp.maximum(g, 0), axis=0),
+                    mesh=self.mesh,
+                    in_specs=(P(self.axis, None), P(self.axis, None)),
+                    out_specs=P(self.axis, None, None),
+                    check_vma=False,
+                )
+            )
+            self._nbr_vecs = build(self._vectors, self._graph)
 
     def _make_search(self, k: int, ef: int, n_seeds: int, max_iters: int,
                      expand: int = 4):
         s = self._shard_rows
         n_real = self._n
         axis = self.axis
+        fused = self._nbr_vecs is not None
 
-        def local(q, vecs, graph, pivots):
+        def local(q, vecs, graph, pivots, nbr_vecs=None):
             shard = jax.lax.axis_index(axis)
             base = shard * s
             scores, ids = hnsw_search_batch(
-                q, vecs, graph, pivots,
+                q, vecs, graph, pivots, nbr_vecs,
                 k=k, ef=ef, max_iters=max_iters, n_seeds=n_seeds,
-                expand=expand,
+                expand=expand, fused_gather=fused,
             )
             # Mask pad rows (global id >= n_real) and rebase to global ids.
             gids = jnp.where(ids >= 0, ids + base, -1)
@@ -246,10 +285,13 @@ class ShardedHNSWIndex:
             mi = jnp.take_along_axis(all_i, sel, axis=1)
             return ms, mi
 
+        in_specs = [P(), P(self.axis, None), P(self.axis, None), P(self.axis)]
+        if fused:
+            in_specs.append(P(self.axis, None, None))
         fn = jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(P(), P(self.axis, None), P(self.axis, None), P(self.axis)),
+            in_specs=tuple(in_specs),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -272,7 +314,10 @@ class ShardedHNSWIndex:
             self._search_fn = (key, self._make_search(*key))
         q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
         q = jax.device_put(q, NamedSharding(self.mesh, P()))
-        scores, ids = self._search_fn[1](q, self._vectors, self._graph, self._pivots)
+        args = (q, self._vectors, self._graph, self._pivots)
+        if self._nbr_vecs is not None:
+            args = args + (self._nbr_vecs,)
+        scores, ids = self._search_fn[1](*args)
         return np.asarray(scores)[:, :k], np.asarray(ids)[:, :k]
 
     def search(self, query_emb: np.ndarray, k: int = 3):
