@@ -91,10 +91,24 @@ def main():
     recall = float(epsilon_recall(vecs, queries, ids, ref_scores, k))
     log(f"epsilon-recall@{k} vs exact scan: {recall:.4f}")
 
-    reps = 10
+    # Sustained-throughput timing: dispatch R batches back-to-back on device
+    # (async dispatch, serving-style pipelining), sync once at the end. The
+    # device executes programs in order, so materializing the last result
+    # bounds completion of all of them.
+    from sqe_tpu.index.hnsw import hnsw_search_batch
+
+    expand = 8
+    kwargs = dict(
+        k=k, ef=ef, max_iters=ef // expand + 32, n_seeds=32, expand=expand,
+        fused_gather=idx._nbr_vecs is not None,
+    )
+    reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
-        scores, ids = idx.search_ids(q_dev, k, ef=ef)
+        scores_d, ids_d = hnsw_search_batch(
+            q_dev, idx._vectors, idx._graph, idx._pivots, idx._nbr_vecs, **kwargs
+        )
+    _ = np.asarray(scores_d)
     elapsed = time.perf_counter() - t0
     per_batch = elapsed / reps
     qps = n_queries / per_batch

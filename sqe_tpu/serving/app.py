@@ -158,10 +158,17 @@ async def serve(
     host: Optional[str] = None,
     port: Optional[int] = None,
     auth_hook: AuthHook = allow_all_auth,
+    upload_port: Optional[int] = None,
 ) -> None:
+    """Serve the query API; optionally also expose the ingestion API on its
+    own port (the reference ran upload as a separate service on 9001,
+    embedding_gen.py:413)."""
     cfg = engine.cfg.serve
     router = build_router(engine, auth_hook)
     server = Server(router, host or cfg.host, port or cfg.port)
+    if upload_port:
+        upload_server = Server(router, host or cfg.host, upload_port)
+        await upload_server.start()
     await server.serve_forever()
 
 
@@ -182,7 +189,21 @@ def main(argv: Optional[list] = None) -> None:
         engine.build_from_corpus()
         if cfg.checkpoint_dir:
             engine.save_checkpoint()
-    asyncio.run(serve(engine))
+
+    auth_hook: AuthHook = allow_all_auth
+    users_file = os.getenv("SQE_AUTH_USERS_FILE")
+    auth_url = os.getenv("SQE_AUTH_URL")
+    if users_file:
+        from sqe_tpu.serving.auth import UserFileAuth
+
+        auth_hook = UserFileAuth(users_file)
+    elif auth_url:
+        from sqe_tpu.serving.auth import HTTPAuth
+
+        auth_hook = HTTPAuth(auth_url)
+
+    upload_port = cfg.serve.upload_port if "--two_ports" in argv else None
+    asyncio.run(serve(engine, auth_hook=auth_hook, upload_port=upload_port))
 
 
 if __name__ == "__main__":

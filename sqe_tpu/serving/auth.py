@@ -1,0 +1,93 @@
+"""Upload authorization hooks.
+
+The reference authorized uploads with a Postgres users-table lookup that
+failed closed on any error (embedding_gen.py:282-309). The TPU build keeps
+authorization as an async hook on the upload path (SURVEY.md C13: "keep a
+pluggable auth hook"); implementations here:
+
+- ``allow_all_auth``  — accepts any non-empty user id (dev default).
+- ``UserFileAuth``    — file-backed user table (one ``user_id[:email]`` per
+  line); fail-closed: unreadable file or missing entry denies. The file is
+  re-stat'd per check so user admin needs no restart.
+- ``HTTPAuth``        — delegates to an external auth service (the shape a
+  real deployment with a SQL/IDP backend plugs into).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from sqe_tpu.utils.logging import get_logger
+
+try:
+    import httpx
+except Exception:  # pragma: no cover
+    httpx = None
+
+log = get_logger("serving.auth")
+
+
+async def allow_all_auth(user_id: str) -> bool:
+    return bool(user_id.strip())
+
+
+class UserFileAuth:
+    """Fail-closed file-backed user table."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._mtime = 0.0
+        self._users: set[str] = set()
+
+    def _refresh(self) -> bool:
+        try:
+            mtime = os.path.getmtime(self.path)
+        except OSError:
+            log.error("auth user file %s unreadable; denying", self.path)
+            return False
+        if mtime != self._mtime:
+            users = set()
+            with open(self.path, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if line and not line.startswith("#"):
+                        users.add(line.split(":", 1)[0])
+            self._users = users
+            self._mtime = mtime
+        return True
+
+    async def __call__(self, user_id: str) -> bool:
+        if not user_id.strip():
+            return False
+        if not self._refresh():
+            return False  # fail closed, like the reference's conn-error path
+        return user_id in self._users
+
+
+class HTTPAuth:
+    """Asks an external service: GET {base_url}/users/{id} -> 200 = allowed."""
+
+    def __init__(self, base_url: str, timeout_s: float = 5.0,
+                 bearer_token: Optional[str] = None):
+        self.base_url = base_url.rstrip("/")
+        self.timeout_s = timeout_s
+        self.bearer_token = bearer_token
+
+    async def __call__(self, user_id: str) -> bool:
+        if httpx is None or not user_id.strip():
+            return False
+        headers = (
+            {"Authorization": f"Bearer {self.bearer_token}"}
+            if self.bearer_token else {}
+        )
+        try:
+            async with httpx.AsyncClient() as client:
+                resp = await client.get(
+                    f"{self.base_url}/users/{user_id}",
+                    headers=headers, timeout=self.timeout_s,
+                )
+                return resp.status_code == 200
+        except Exception as exc:  # noqa: BLE001
+            log.error("auth service error: %s; denying", exc)
+            return False
