@@ -51,6 +51,7 @@ def hnsw_search_batch(
     graph: jax.Array,       # [N, M0] int32, -1 padded
     pivot_ids: jax.Array,   # [S] int32
     nbr_vecs: Optional[jax.Array] = None,  # [N, M0, D] neighbor-materialized
+    nbr_scales: Optional[jax.Array] = None,  # [N, M0] f32 when nbr_vecs is int8
     *,
     k: int,
     ef: int = 100,
@@ -140,6 +141,9 @@ def hnsw_search_batch(
 
         if fused_gather:
             sims = gather_dot(nbr_vecs, nid_safe, qf)             # [B, E*M0]
+            if nbr_scales is not None:
+                # int8 layout: dequantize scores with the per-row scales.
+                sims = sims * nbr_scales[nid_safe].reshape(b, em)
         else:
             nbr_safe = jnp.where(valid, nbrs, 0)
             nvecs = vectors[nbr_safe]                             # [B, E*M0, D]
@@ -178,6 +182,25 @@ def hnsw_search_batch(
     return out_sims, out_ids
 
 
+@jax.jit
+def _exact_rerank(
+    queries: jax.Array,   # [B, D] f32 normalized
+    vectors: jax.Array,   # [N, D]
+    ids: jax.Array,       # [B, k] int32 (may contain -1)
+) -> Tuple[jax.Array, jax.Array]:
+    """Re-score the final candidates against the base vectors and re-sort —
+    absorbs quantization noise from the int8 search layout."""
+    safe = jnp.maximum(ids, 0)
+    cand = vectors[safe].astype(jnp.float32)                     # [B, k, D]
+    sims = jnp.einsum("bd,bkd->bk", queries.astype(jnp.float32), cand,
+                      preferred_element_type=jnp.float32)
+    sims = jnp.where(ids >= 0, sims, -jnp.inf)
+    order = jnp.argsort(-sims, axis=1)
+    return jnp.take_along_axis(sims, order, axis=1), jnp.take_along_axis(
+        ids, order, axis=1
+    )
+
+
 class HNSWIndex:
     """Flat-graph HNSW index: host C++ build, device beam search.
 
@@ -197,11 +220,14 @@ class HNSWIndex:
         vector_dtype: Any = jnp.float32,
         device: Optional[jax.Device] = None,
         layout: str = "auto",   # 'auto' | 'fused' | 'plain'
+        fused_dtype: Any = None,  # dtype of the fused layout; jnp.int8 halves
+                                  # gather bandwidth (per-row scales + rerank)
     ):
         self.cfg = cfg or HNSWConfig()
         self.embed_dim = embed_dim
         self.n_pivots = n_pivots
         self.vector_dtype = vector_dtype
+        self.fused_dtype = fused_dtype or vector_dtype
         self.device = device
         self.layout = layout
         self.metas: List[Dict[str, Any]] = []
@@ -212,6 +238,7 @@ class HNSWIndex:
         self._graph: Optional[jax.Array] = None
         self._pivots: Optional[jax.Array] = None
         self._nbr_vecs: Optional[jax.Array] = None        # [N, M0, D] fused layout
+        self._nbr_scales: Optional[jax.Array] = None      # [N, M0] f32 (int8 only)
 
     def __len__(self) -> int:
         return 0 if self._vectors_host is None else self._vectors_host.shape[0]
@@ -229,11 +256,24 @@ class HNSWIndex:
         self._graph = put(self._graph_host)
         self._pivots = put(pivots)
         self._nbr_vecs = None
+        self._nbr_scales = None
         if self._use_fused():
             # Neighbor-materialized layout computed on device (one-time gather).
-            self._nbr_vecs = jnp.take(
-                self._vectors, jnp.maximum(self._graph, 0), axis=0
-            )
+            safe_graph = jnp.maximum(self._graph, 0)
+            if jnp.dtype(self.fused_dtype) == jnp.int8:
+                from sqe_tpu.ops.quantize import quantize_rows
+
+                # Quantize the base vectors once; each row keeps one scale
+                # wherever it appears in the neighbor-materialized layout.
+                qv, scales = jax.jit(quantize_rows)(
+                    self._vectors.astype(jnp.float32)
+                )
+                self._nbr_vecs = jnp.take(qv, safe_graph, axis=0)
+                self._nbr_scales = jnp.take(scales, safe_graph, axis=0)
+            else:
+                self._nbr_vecs = jnp.take(
+                    self._vectors, safe_graph, axis=0
+                ).astype(self.fused_dtype)
 
     def _use_fused(self) -> bool:
         if self.layout == "plain":
@@ -246,7 +286,7 @@ class HNSWIndex:
         if self.layout == "fused":
             return True
         n, m0 = self._graph_host.shape
-        bytes_needed = n * m0 * self.embed_dim * jnp.dtype(self.vector_dtype).itemsize
+        bytes_needed = n * m0 * self.embed_dim * jnp.dtype(self.fused_dtype).itemsize
         return bytes_needed <= self.FUSED_LAYOUT_MAX_BYTES
 
     def build(
@@ -324,6 +364,7 @@ class HNSWIndex:
         k: int,
         ef: Optional[int] = None,
         expand: int = 8,
+        rerank: Optional[bool] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         if self._vectors is None:
             b = np.asarray(query_emb).shape[0]
@@ -337,6 +378,7 @@ class HNSWIndex:
             q = jax.device_put(q, self.device)
         scores, ids = hnsw_search_batch(
             q, self._vectors, self._graph, self._pivots, self._nbr_vecs,
+            self._nbr_scales,
             k=min(k, n),
             ef=ef,
             max_iters=ef // expand + 32,
@@ -344,6 +386,10 @@ class HNSWIndex:
             expand=expand,
             fused_gather=self._nbr_vecs is not None,
         )
+        if rerank is None:
+            rerank = self._nbr_scales is not None
+        if rerank:
+            scores, ids = _exact_rerank(q, self._vectors, ids)
         return np.asarray(scores), np.asarray(ids)
 
     def search(
