@@ -159,6 +159,7 @@ class ShardedHNSWIndex:
         n_pivots: int = 1024,
         vector_dtype: Any = jnp.float32,
         layout: str = "auto",
+        fused_dtype: Any = None,
     ):
         self.mesh = mesh
         self.cfg = cfg or HNSWConfig()
@@ -166,6 +167,7 @@ class ShardedHNSWIndex:
         self.axis = axis
         self.n_pivots = n_pivots
         self.vector_dtype = vector_dtype
+        self.fused_dtype = fused_dtype or vector_dtype
         self.layout = layout
         self.n_shards = mesh.shape[axis]
         self.metas: List[Dict[str, Any]] = []
@@ -173,6 +175,7 @@ class ShardedHNSWIndex:
         self._graph: Optional[jax.Array] = None     # [ns*S, M0] sharded (local ids)
         self._pivots: Optional[jax.Array] = None    # [ns*P] sharded (local ids)
         self._nbr_vecs: Optional[jax.Array] = None  # [ns*S, M0, D] fused layout
+        self._nbr_scales: Optional[jax.Array] = None
         self._shard_rows = 0
         self._n = 0
         self._search_fn = None
@@ -187,7 +190,7 @@ class ShardedHNSWIndex:
             return True
         per_shard = (
             self._shard_rows * self.cfg.M0 * self.embed_dim
-            * jnp.dtype(self.vector_dtype).itemsize
+            * jnp.dtype(self.fused_dtype).itemsize
         )
         return per_shard <= self.FUSED_LAYOUT_MAX_BYTES
 
@@ -245,19 +248,34 @@ class ShardedHNSWIndex:
         self.metas = [_to_meta(m) for m in metas]
         self._search_fn = None
         self._nbr_vecs = None
+        self._nbr_scales = None
         if self._use_fused():
             # Per-shard neighbor-materialized layout: the gather uses LOCAL
             # graph ids, so it must run shard-locally under shard_map.
+            int8 = jnp.dtype(self.fused_dtype) == jnp.int8
+
+            def local_build(v, g):
+                safe = jnp.maximum(g, 0)
+                if int8:
+                    from sqe_tpu.ops.quantize import quantize_rows
+
+                    qv, scales = quantize_rows(v.astype(jnp.float32))
+                    return jnp.take(qv, safe, axis=0), jnp.take(scales, safe, axis=0)
+                taken = jnp.take(v, safe, axis=0).astype(self.fused_dtype)
+                return taken, jnp.zeros((g.shape[0], g.shape[1]), jnp.float32)
+
             build = jax.jit(
                 jax.shard_map(
-                    lambda v, g: jnp.take(v, jnp.maximum(g, 0), axis=0),
+                    local_build,
                     mesh=self.mesh,
                     in_specs=(P(self.axis, None), P(self.axis, None)),
-                    out_specs=P(self.axis, None, None),
+                    out_specs=(P(self.axis, None, None), P(self.axis, None)),
                     check_vma=False,
                 )
             )
-            self._nbr_vecs = build(self._vectors, self._graph)
+            nbr_vecs, nbr_scales = build(self._vectors, self._graph)
+            self._nbr_vecs = nbr_vecs
+            self._nbr_scales = nbr_scales if int8 else None
 
     def _make_search(self, k: int, ef: int, n_seeds: int, max_iters: int,
                      expand: int = 4):
@@ -266,11 +284,13 @@ class ShardedHNSWIndex:
         axis = self.axis
         fused = self._nbr_vecs is not None
 
-        def local(q, vecs, graph, pivots, nbr_vecs=None):
+        quantized = self._nbr_scales is not None
+
+        def local(q, vecs, graph, pivots, nbr_vecs=None, nbr_scales=None):
             shard = jax.lax.axis_index(axis)
             base = shard * s
             scores, ids = hnsw_search_batch(
-                q, vecs, graph, pivots, nbr_vecs,
+                q, vecs, graph, pivots, nbr_vecs, nbr_scales,
                 k=k, ef=ef, max_iters=max_iters, n_seeds=n_seeds,
                 expand=expand, fused_gather=fused,
             )
@@ -288,6 +308,8 @@ class ShardedHNSWIndex:
         in_specs = [P(), P(self.axis, None), P(self.axis, None), P(self.axis)]
         if fused:
             in_specs.append(P(self.axis, None, None))
+            if quantized:
+                in_specs.append(P(self.axis, None))
         fn = jax.shard_map(
             local,
             mesh=self.mesh,
@@ -317,6 +339,8 @@ class ShardedHNSWIndex:
         args = (q, self._vectors, self._graph, self._pivots)
         if self._nbr_vecs is not None:
             args = args + (self._nbr_vecs,)
+            if self._nbr_scales is not None:
+                args = args + (self._nbr_scales,)
         scores, ids = self._search_fn[1](*args)
         return np.asarray(scores)[:, :k], np.asarray(ids)[:, :k]
 
