@@ -4,15 +4,15 @@ CXX ?= g++
 CXXFLAGS ?= -O3 -march=native -std=c++17 -shared -fPIC
 
 NATIVE_DIR := sqe_tpu/native
-SO := $(NATIVE_DIR)/libhnsw_builder.so
+SOS := $(NATIVE_DIR)/libhnsw_builder.so $(NATIVE_DIR)/libtext_prep.so
 
 .PHONY: all native test bench clean
 
 all: native
 
-native: $(SO)
+native: $(SOS)
 
-$(SO): $(NATIVE_DIR)/hnsw_builder.cc
+$(NATIVE_DIR)/lib%.so: $(NATIVE_DIR)/%.cc
 	$(CXX) $(CXXFLAGS) $< -o $@
 
 test: native

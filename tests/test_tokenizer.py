@@ -31,3 +31,35 @@ def test_truncation():
     ids, mask = t.encode_batch(["a b c d e f g"])
     assert mask[0].sum() == 4
     assert ids.shape == (1, 4)
+
+
+def test_native_matches_python():
+    """The C++ fast path must produce identical ids/mask to the Python impl
+    on real corpus text (tests skip silently if no compiler)."""
+    from sqe_tpu.data.tokenizer import _native_lib
+
+    if _native_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    import os
+
+    texts = [
+        "The Heart pumps BLOOD through 42 vessels!",
+        "",
+        "   ",
+        "naïve café θεωρία mixed-UNICODE text 123",
+        "x" * 5000,
+        " ".join(f"word{i}" for i in range(600)),  # > max_len truncation
+    ]
+    pmc = "/root/reference/PMC"
+    if os.path.isdir(pmc):
+        from sqe_tpu.data import load_corpus
+
+        texts += [c.text for c in load_corpus(pmc, 512, limit_files=3)][:20]
+    t_native = HashingTokenizer(4096, 128, use_native=True)
+    t_python = HashingTokenizer(4096, 128, use_native=False)
+    ids_n, mask_n = t_native.encode_batch(texts)
+    ids_p, mask_p = t_python.encode_batch(texts)
+    np.testing.assert_array_equal(ids_n, ids_p)
+    np.testing.assert_array_equal(mask_n, mask_p)
