@@ -150,6 +150,34 @@ class DeviceLFUCache:
             self._responses[int(np.asarray(slot))] = response
             self._size = min(self._size + 1, self.cfg.capacity)
 
+    # ---- fused-pipeline support (serving/pipeline.py) -----------------------
+
+    def device_arrays(self) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """(keys, valid, threshold) for an externally-jitted probe."""
+        return self._keys, self._valid, self._threshold
+
+    def resolve_external_probe(
+        self, hit: np.ndarray, slot: np.ndarray
+    ) -> List[Optional[str]]:
+        """Resolve a probe computed inside a fused device program: bump LFU
+        frequencies for the hits and return the cached responses."""
+        with self._lock:
+            out: List[Optional[str]] = []
+            bump = np.zeros(self.cfg.capacity, dtype=np.int32)
+            for h, s in zip(hit, slot):
+                s = int(s)
+                if bool(h) and 0 <= s < self.cfg.capacity and \
+                        self._responses[s] is not None:
+                    out.append(self._responses[s])
+                    bump[s] += 1
+                    self.hits += 1
+                else:
+                    out.append(None)
+                    self.misses += 1
+            if bump.any():
+                self._freqs = self._freqs + jnp.asarray(bump)
+            return out
+
     def snapshot(self) -> dict:
         """Host-side state for checkpointing."""
         with self._lock:

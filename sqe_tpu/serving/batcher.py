@@ -52,6 +52,8 @@ class RetrievalBatcher:
         self.max_batch = max_batch
         self.flush_ms = flush_ms
         self.top_k = top_k
+        self._fused = None
+        self._fused_checked = False
         self._queue: Optional[asyncio.Queue] = None
         self._task: Optional[asyncio.Task] = None
         self._loop = None
@@ -105,23 +107,56 @@ class RetrievalBatcher:
                     if not fut.done():
                         fut.set_exception(exc)
 
+    def _get_fused(self):
+        """Fused single-dispatch front half (serving/pipeline.py), when the
+        index supports it."""
+        if not self._fused_checked:
+            self._fused_checked = True
+            try:
+                from sqe_tpu.serving.pipeline import FusedFrontend
+
+                fe = FusedFrontend(self.embedder, self.cache, self.index,
+                                   k=self.top_k)
+                if fe.supported():
+                    self._fused = fe
+            except Exception:  # noqa: BLE001 - fall back to the 3-call path
+                log.exception("fused frontend unavailable; using unfused path")
+        return self._fused
+
     def _flush(self, batch) -> None:
         texts = [q for q, _k, _f in batch]
         ks = [k for _q, k, _f in batch]
-        embs = self.embedder.embed_texts(texts, batch_size=max(len(texts), 1))
-        cached = self.cache.get_batch(embs)
         k_max = max(ks)
-        miss_rows = [i for i, c in enumerate(cached) if c is None]
+        n_real = len(texts)
+        # Pad to a power-of-two bucket so device programs compile once per
+        # bucket, not once per distinct batch size.
+        bucket = 1
+        while bucket < n_real:
+            bucket *= 2
+        bucket = min(bucket, self.max_batch)
+        texts = texts + [""] * (max(bucket, n_real) - n_real)
         results: Dict[int, list] = {i: [] for i in range(len(batch))}
-        if miss_rows and self.index is not None and self.index.has_any_data():
-            scores, ids = self.index.search_ids(embs[miss_rows], k_max)
-            for row, i in enumerate(miss_rows):
-                hits = []
-                for s, idx_id in zip(scores[row], ids[row]):
-                    if idx_id < 0:
-                        continue
-                    hits.append((self.index.metas[int(idx_id)], float(s)))
-                results[i] = hits[: ks[i]]
+        fused = self._get_fused()
+        if fused is not None:
+            embs, cached, fused_results = fused.retrieve(
+                texts, k=k_max, n_real=n_real
+            )
+            for i in range(len(batch)):
+                results[i] = fused_results[i][: ks[i]]
+        else:
+            embs = self.embedder.embed_texts(texts, batch_size=max(len(texts), 1))
+            embs = embs[:n_real]
+            cached = self.cache.get_batch(embs)
+            miss_rows = [i for i, c in enumerate(cached) if c is None]
+            if miss_rows and self.index is not None and self.index.has_any_data():
+                scores, ids = self.index.search_ids(embs[miss_rows], k_max)
+                for row, i in enumerate(miss_rows):
+                    hits = []
+                    for s, idx_id in zip(scores[row], ids[row]):
+                        if idx_id < 0:
+                            continue
+                        hits.append((self.index.metas[int(idx_id)], float(s)))
+                    results[i] = hits[: ks[i]]
         self.batches += 1
         self.requests += len(batch)
         loop = None

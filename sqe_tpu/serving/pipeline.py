@@ -1,0 +1,145 @@
+"""Fused retrieval front-end: embed -> cache probe -> search, one device program.
+
+The reference's per-query path crossed four process boundaries (Ollama HTTP,
+Redis, OpenSearch HTTP, LLM HTTP — SURVEY.md §3.2). The unfused engine already
+collapses that to three device calls; this module collapses it to ONE jitted
+program per request batch:
+
+    token ids -> transformer forward -> L2-normed embeddings
+              -> cache-key matmul + argmax (hit flags + slots)
+              -> HNSW beam search (scores + ids)
+
+Query embeddings never leave the device between stages, and the host pays a
+single dispatch per micro-batch. Cache frequency bumps and response lookup
+resolve on the host afterwards (strings live host-side), via
+``DeviceLFUCache.resolve_external_probe``.
+
+Used by ``RetrievalBatcher`` when engine components are colocated and the
+index is a single-device HNSW index.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sqe_tpu.index.hnsw import hnsw_search_batch
+from sqe_tpu.models.embedder import embed_forward
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "attn_impl", "k", "ef", "max_iters", "n_seeds",
+                     "expand", "fused_gather"),
+)
+def retrieval_program(
+    params,
+    ids: jax.Array,            # [B, L] int32
+    mask: jax.Array,           # [B, L] f32
+    cache_keys: jax.Array,     # [C, D]
+    cache_valid: jax.Array,    # [C] bool
+    cache_threshold: jax.Array,
+    vectors: jax.Array,
+    graph: jax.Array,
+    pivots: jax.Array,
+    nbr_vecs: Optional[jax.Array],
+    nbr_scales: Optional[jax.Array],
+    *,
+    cfg,
+    attn_impl: str,
+    k: int,
+    ef: int,
+    max_iters: int,
+    n_seeds: int,
+    expand: int,
+    fused_gather: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Returns (emb [B,D], hit [B], slot [B], scores [B,k], ids [B,k])."""
+    emb = embed_forward(params, ids, mask, cfg=cfg, attn_impl=attn_impl)
+
+    sims = jax.lax.dot_general(
+        emb.astype(jnp.float32), cache_keys.astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    sims = jnp.where(cache_valid[None, :], sims, -jnp.inf)
+    slot = jnp.argmax(sims, axis=1).astype(jnp.int32)
+    hit = jnp.max(sims, axis=1) >= cache_threshold
+
+    scores, out_ids = hnsw_search_batch(
+        emb, vectors, graph, pivots, nbr_vecs, nbr_scales,
+        k=k, ef=ef, max_iters=max_iters, n_seeds=n_seeds, expand=expand,
+        fused_gather=fused_gather,
+    )
+    return emb, hit, slot, scores, out_ids
+
+
+class FusedFrontend:
+    """Binds an embedder + cache + HNSW index into one-call retrieval."""
+
+    def __init__(self, embedder, cache, index, k: int = 3,
+                 ef: Optional[int] = None, expand: int = 8):
+        self.embedder = embedder
+        self.cache = cache
+        self.index = index
+        self.k = k
+        self.ef = ef
+        self.expand = expand
+
+    def supported(self) -> bool:
+        from sqe_tpu.index.hnsw import HNSWIndex
+
+        return isinstance(self.index, HNSWIndex) and self.index.has_any_data()
+
+    def retrieve(self, texts, k: Optional[int] = None,
+                 n_real: Optional[int] = None):
+        """Returns (emb [B, D] np, cached list[str|None], results list[list]).
+
+        One device dispatch for the whole batch front half. ``n_real`` bounds
+        the rows that count (the tail may be padding for bucketed compiles);
+        padding rows never touch cache counters.
+        """
+        import numpy as np
+
+        k = k or self.k
+        n_real = len(texts) if n_real is None else n_real
+        idx = self.index
+        n = len(idx)
+        ef = self.ef or idx.cfg.ef_search
+        ef = max(k, min(ef, n))
+        expand = max(1, min(self.expand, ef))
+        ids, mask = self.embedder.tokenizer.encode_batch(texts)
+        keys, valid, threshold = self.cache.device_arrays()
+        emb, hit, slot, scores, out_ids = retrieval_program(
+            self.embedder.params, ids, mask,
+            keys, valid, threshold,
+            idx._vectors, idx._graph, idx._pivots, idx._nbr_vecs,
+            idx._nbr_scales,
+            cfg=self.embedder.cfg,
+            attn_impl=self.embedder.attn_impl,
+            k=min(k, n),
+            ef=ef,
+            max_iters=ef // expand + 32,
+            n_seeds=min(32, ef, n),
+            expand=expand,
+            fused_gather=idx._nbr_vecs is not None,
+        )
+        emb_np = np.asarray(emb)[:n_real]
+        cached = self.cache.resolve_external_probe(
+            np.asarray(hit)[:n_real], np.asarray(slot)[:n_real]
+        )
+        scores_np, ids_np = np.asarray(scores), np.asarray(out_ids)
+        results = []
+        for row in range(n_real):
+            if cached[row] is not None:
+                results.append([])
+                continue
+            hits = [
+                (idx.metas[int(i)], float(s))
+                for s, i in zip(scores_np[row], ids_np[row])
+                if i >= 0
+            ]
+            results.append(hits[:k])
+        return emb_np, cached, results
