@@ -84,7 +84,14 @@ def gather_dot(
     n, m0, d = nbr_vecs.shape
     b, e = ids.shape
     if block_q == 0:
-        block_q = next(bq for bq in (16, 8, 4, 2, 1) if b % bq == 0)
+        # Largest power-of-two divisor of B whose VMEM scratch
+        # (block_q * E * M0 * D * itemsize) stays under ~12 MB.
+        budget = 12 << 20
+        row_bytes = e * m0 * d * nbr_vecs.dtype.itemsize
+        block_q = next(
+            bq for bq in (16, 8, 4, 2, 1)
+            if b % bq == 0 and (bq == 1 or bq * row_bytes <= budget)
+        )
     assert b % block_q == 0, (b, block_q)
     em = e * m0
 
