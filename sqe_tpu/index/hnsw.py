@@ -294,15 +294,23 @@ class HNSWIndex:
         embeddings: np.ndarray,
         metas: Sequence[Dict[str, Any] | Chunk],
         force_numpy_builder: bool = False,
-        builder: str = "host",
+        builder: str = "auto",
     ) -> None:
-        """Build the graph. ``builder``: 'host' (C++ hierarchical insert),
-        'device' (TPU blocked-kNN + occlusion pruning, device_build.py), or
-        'numpy' (fallback)."""
+        """Build the graph. ``builder``: 'auto' (device when a TPU holds the
+        index and the corpus is large enough to amortize the compile, else
+        host), 'host' (C++ hierarchical insert), 'device' (TPU blocked-kNN +
+        occlusion pruning, device_build.py), or 'numpy' (fallback)."""
         emb = np.asarray(embeddings, dtype=np.float32)
         emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
         if force_numpy_builder:
             builder = "numpy"
+        if builder == "auto":
+            dev = self.device or jax.devices()[0]
+            builder = (
+                "device"
+                if dev.platform == "tpu" and emb.shape[0] >= 4096
+                else "host"
+            )
         if builder == "device":
             from sqe_tpu.index.device_build import build_graph_device
 
