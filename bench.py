@@ -52,7 +52,7 @@ def main():
     device = jax.devices()[0]
     log(f"backend={backend} device={device}")
 
-    n, d, n_queries, k, ef = 100_000, 1024, 1024, 10, 96
+    n, d, n_queries, k, ef = 100_000, 1024, 1024, 10, 72
     rng = np.random.default_rng(0)
     n_clusters = 4096
     centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
