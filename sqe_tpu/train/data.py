@@ -1,0 +1,65 @@
+"""Self-supervised training pairs from a raw corpus.
+
+The reference's embedding quality came from a pretrained external model
+(mxbai-embed-large via Ollama); this framework owns its embedder and can adapt
+it to the corpus with no labels: **in-chunk span pairs** — two random
+non-overlapping word spans from the same chunk form a positive pair, other
+chunks in the batch are negatives (the Inverse Cloze Task family of
+objectives used to train retrieval embedders).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+from sqe_tpu.data.corpus import Chunk
+from sqe_tpu.data.tokenizer import HashingTokenizer
+
+
+def span_pair(words: List[str], rng: np.random.Generator,
+              min_len: int = 16, max_len: int = 64) -> Tuple[str, str]:
+    """Two random word spans from one chunk; disjoint when length permits."""
+    n = len(words)
+    if n < 2 * min_len:
+        half = max(1, n // 2)
+        return " ".join(words[:half]), " ".join(words[half:] or words[:half])
+    l1 = int(rng.integers(min_len, min(max_len, n // 2) + 1))
+    l2 = int(rng.integers(min_len, min(max_len, n - l1) + 1))
+    s1 = int(rng.integers(0, n - l1 + 1))
+    # try to sample the second span outside the first
+    for _ in range(4):
+        s2 = int(rng.integers(0, n - l2 + 1))
+        if s2 + l2 <= s1 or s2 >= s1 + l1:
+            break
+    return " ".join(words[s1 : s1 + l1]), " ".join(words[s2 : s2 + l2])
+
+
+def pair_batches(
+    chunks: Sequence[Chunk],
+    tokenizer: HashingTokenizer,
+    batch_size: int = 64,
+    max_len: int = 128,
+    seed: int = 0,
+    epochs: int = 1,
+) -> Iterator[dict]:
+    """Yields train-step batches: {q_ids, q_mask, p_ids, p_mask} with static
+    shapes [batch_size, max_len]."""
+    rng = np.random.default_rng(seed)
+    texts = [c.text.split() for c in chunks if c.text.strip()]
+    if not texts:
+        return
+    for _ in range(epochs):
+        order = rng.permutation(len(texts))
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            rows = order[start : start + batch_size]
+            qs, ps = [], []
+            for r in rows:
+                a, b = span_pair(texts[r], rng)
+                qs.append(a)
+                ps.append(b)
+            q_ids, q_mask = tokenizer.encode_batch(qs, max_len=max_len)
+            p_ids, p_mask = tokenizer.encode_batch(ps, max_len=max_len)
+            yield {"q_ids": q_ids, "q_mask": q_mask,
+                   "p_ids": p_ids, "p_mask": p_mask}

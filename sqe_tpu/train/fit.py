@@ -1,0 +1,59 @@
+"""Training driver: adapt the embedder to a corpus, self-supervised.
+
+Single-device (or dp x tp sharded) loop over span-pair batches; returns the
+trained params ready to drop into an ``Embedder`` and rebuild the index.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import List, Optional, Sequence
+
+import jax
+
+from sqe_tpu.config import ModelConfig
+from sqe_tpu.data.corpus import Chunk
+from sqe_tpu.data.tokenizer import HashingTokenizer
+from sqe_tpu.train.contrastive import make_train_state, train_step
+from sqe_tpu.train.data import pair_batches
+from sqe_tpu.utils.logging import get_logger
+
+log = get_logger("train.fit")
+
+
+def fit_embedder(
+    chunks: Sequence[Chunk],
+    cfg: Optional[ModelConfig] = None,
+    *,
+    steps: int = 200,
+    batch_size: int = 64,
+    pair_max_len: int = 128,
+    lr: float = 3e-4,
+    attn_impl: str = "xla",
+    seed: int = 0,
+    log_every: int = 50,
+):
+    """Train on in-chunk span pairs; returns (params, losses)."""
+    cfg = cfg or ModelConfig()
+    tokenizer = HashingTokenizer(cfg.vocab_size, cfg.max_len)
+    state, tx = make_train_state(cfg, lr=lr, key=jax.random.PRNGKey(seed))
+    step_fn = jax.jit(
+        functools.partial(train_step, cfg=cfg, tx=tx, attn_impl=attn_impl),
+        donate_argnums=(0,),
+    )
+    losses: List[float] = []
+    t0 = time.perf_counter()
+    batches = pair_batches(
+        chunks, tokenizer, batch_size=batch_size, max_len=pair_max_len,
+        seed=seed, epochs=max(1, steps),
+    )
+    for i, batch in enumerate(batches):
+        if i >= steps:
+            break
+        state, loss = step_fn(state, batch)
+        losses.append(float(loss))
+        if (i + 1) % log_every == 0 or i == 0:
+            log.info("step %d/%d loss %.4f (%.1fs)", i + 1, steps, losses[-1],
+                     time.perf_counter() - t0)
+    return state.params, losses
