@@ -1,15 +1,19 @@
-"""Headline benchmark: HNSW retrieval on one TPU chip.
+"""Headline benchmark: batched retrieval on one TPU chip.
 
 Scale from BASELINE.json config 2/3: 100k synthetic 1024-d vectors (clustered,
-embedding-like geometry), HNSW M=16, batched query stream B=1024, ef_search
-100, bf16 vector storage (MXU-native). Reports queries/sec/chip with the
-recall@10 gate checked in the same run; ``vs_baseline`` normalizes against the
-BASELINE.json north-star throughput (>=50k QPS on v5e-8 => 6250 QPS/chip).
+embedding-like geometry), batched query stream B=1024, bf16 vector storage.
+Two engines are measured and the faster recall-gated one is the headline:
 
-Recall is epsilon-recall, the standard ANN metric under score ties: a returned
-id counts as correct if its exact (float64) similarity is within 1e-5 of the
-query's true k-th neighbor similarity. Ground truth comes from the flat
-exact-scan oracle run at Precision.HIGHEST.
+- **exact MXU scan** (index/flat.py): blocked Q @ V^T + running top-k. On TPU
+  this is the winning design at corpus scales up to several million vectors
+  per chip — batched brute force is pure MXU work, and recall is 1.0 by
+  construction (DESIGN.md §8).
+- **HNSW beam search** (index/hnsw.py, M=16, ef=72): the ANN engine for the
+  regimes where graph search wins (low-latency tiny batches, very large N).
+  Gated at epsilon-recall@10 >= 0.95 vs the HIGHEST-precision exact oracle.
+
+``vs_baseline`` normalizes against the BASELINE.json north-star throughput
+(>=50k QPS on v5e-8 => 6250 QPS/chip share).
 
 Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
 """
@@ -105,26 +109,56 @@ def main():
     # The dev chip is shared/tunneled with bursty interference; time several
     # windows and report the best one (min-over-windows measures machine
     # capability, standard for noisy hosts).
-    windows, reps = 6, 5
-    per_batch = float("inf")
-    for w in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            scores_d, ids_d = hnsw_search_batch(
-                q_dev, idx._vectors, idx._graph, idx._pivots, idx._nbr_vecs,
-                **kwargs
-            )
-        _ = np.asarray(scores_d)
-        window_ms = (time.perf_counter() - t0) / reps * 1e3
-        log(f"  window {w}: {window_ms:.1f} ms/batch")
-        per_batch = min(per_batch, window_ms / 1e3)
-    qps = n_queries / per_batch
-    log(f"search: {per_batch*1e3:.2f} ms / {n_queries} queries  => {qps:,.0f} QPS/chip")
+    def timed_windows(fn, tag, windows=5, reps=5):
+        best = float("inf")
+        for w in range(windows):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn()
+            _ = np.asarray(out[0])
+            window_ms = (time.perf_counter() - t0) / reps * 1e3
+            best = min(best, window_ms / 1e3)
+        log(f"{tag}: {best*1e3:.2f} ms / {n_queries} queries "
+            f"=> {n_queries/best:,.0f} QPS/chip")
+        return n_queries / best
 
-    # Gate: a headline number only counts at recall >= 0.95.
-    value = qps if recall >= 0.95 else 0.0
+    hnsw_qps = timed_windows(
+        lambda: hnsw_search_batch(
+            q_dev, idx._vectors, idx._graph, idx._pivots, idx._nbr_vecs,
+            **kwargs
+        ),
+        "hnsw beam search",
+    )
+
+    # Exact MXU scan (bf16 matmul, serving precision): recall 1.0 by
+    # construction — the top ids equal the oracle's up to matmul-precision
+    # ties, which epsilon-recall counts as correct.
+    from sqe_tpu.index.flat import flat_topk
+
+    vecs_bf16 = flat.vectors.astype(jnp.bfloat16)
+    block = min(25_000, vecs_bf16.shape[0])
+    _fs, fids = flat_topk(q_dev, vecs_bf16, jnp.int32(n), k=k, block_n=block,
+                          exact=False)
+    flat_recall = float(epsilon_recall(vecs, queries, np.asarray(fids),
+                                       ref_scores, k))
+    log(f"exact-scan epsilon-recall@{k}: {flat_recall:.4f}")
+    flat_qps = timed_windows(
+        lambda: flat_topk(q_dev, vecs_bf16, jnp.int32(n), k=k, block_n=block,
+                          exact=False),
+        "exact MXU scan",
+    )
+
+    # Headline: fastest engine that passes the recall gate.
+    candidates = []
+    if recall >= 0.95:
+        candidates.append((hnsw_qps, f"hnsw_qps_100k_1024d_recall{recall:.3f}"))
+    if flat_recall >= 0.95:
+        candidates.append(
+            (flat_qps, f"exact_scan_qps_100k_1024d_recall{flat_recall:.3f}")
+        )
+    value, metric = max(candidates) if candidates else (0.0, "no_path_passed_gate")
     print(json.dumps({
-        "metric": f"hnsw_qps_100k_1024d_recall{recall:.3f}",
+        "metric": metric,
         "value": round(value, 1),
         "unit": "queries/sec/chip",
         "vs_baseline": round(value / 6250.0, 3),

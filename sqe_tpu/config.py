@@ -100,7 +100,10 @@ class EngineConfig:
     corpus_dir: str = "PMC"      # reference defaulted to "notes" but filtered PMC*.txt (B4)
     chunk_size: int = 512        # words per chunk (main.py:37)
     batch_size: int = 64         # embed batch (main.py:36)
-    index_kind: str = "hnsw"     # "flat" | "hnsw"
+    # "flat" (exact MXU scan — the winning TPU design up to ~1M vectors/chip,
+    # recall 1.0; DESIGN.md §8) | "hnsw" (graph ANN for tiny-batch latency and
+    # very large N).
+    index_kind: str = "flat"
     checkpoint_dir: Optional[str] = None
     mesh_shape: Optional[tuple] = None  # e.g. (8,) to shard the index over 8 chips
 

@@ -94,11 +94,17 @@ class FlatIndex:
         block_n: int = 131072,
         dtype: Any = jnp.float32,
         device: Optional[jax.Device] = None,
+        exact: bool = True,
     ):
+        """``exact=True`` scores at Precision.HIGHEST (the ground-truth oracle
+        mode); ``exact=False`` uses the MXU's native bf16-pass f32 matmul —
+        the serving mode, ~20% faster with ranking identical up to
+        sub-1e-3 score ties."""
         self.embed_dim = embed_dim
         self.block_n = block_n
         self.dtype = dtype
         self.device = device
+        self.exact = exact
         self.metas: List[Dict[str, Any]] = []
         self._vectors: Optional[jax.Array] = None   # [N_padded, D] on device
         self._n = 0
@@ -160,7 +166,8 @@ class FlatIndex:
         k_eff = min(k, self._n)
         block = min(self.block_n, self._vectors.shape[0])
         scores, ids = flat_topk(
-            q, self._vectors, jnp.int32(self._n), k=k_eff, block_n=block
+            q, self._vectors, jnp.int32(self._n), k=k_eff, block_n=block,
+            exact=self.exact,
         )
         return np.asarray(scores), np.asarray(ids)
 

@@ -76,7 +76,20 @@ class RAGEngine:
 
     def _new_index(self) -> Any:
         if self.cfg.index_kind == "flat":
-            return FlatIndex(embed_dim=self.cfg.model.embed_dim, device=self.device)
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            dev = self.device or _jax.devices()[0]
+            on_tpu = dev.platform == "tpu"
+            # Serving mode: bf16 storage + native matmul precision on TPU
+            # (exact ranking up to sub-1e-3 ties); the oracle mode stays
+            # available via FlatIndex(exact=True) directly.
+            return FlatIndex(
+                embed_dim=self.cfg.model.embed_dim,
+                device=self.device,
+                dtype=_jnp.bfloat16 if on_tpu else _jnp.float32,
+                exact=not on_tpu,
+            )
         return HNSWIndex(
             self.cfg.hnsw, embed_dim=self.cfg.model.embed_dim, device=self.device
         )

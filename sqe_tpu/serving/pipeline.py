@@ -76,8 +76,44 @@ def retrieval_program(
     return emb, hit, slot, scores, out_ids
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "attn_impl", "k", "block_n", "exact"),
+)
+def retrieval_program_flat(
+    params,
+    ids: jax.Array,
+    mask: jax.Array,
+    cache_keys: jax.Array,
+    cache_valid: jax.Array,
+    cache_threshold: jax.Array,
+    vectors: jax.Array,
+    valid_n: jax.Array,
+    *,
+    cfg,
+    attn_impl: str,
+    k: int,
+    block_n: int,
+    exact: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Flat-index variant: embed -> cache probe -> exact MXU scan."""
+    from sqe_tpu.index.flat import flat_topk
+
+    emb = embed_forward(params, ids, mask, cfg=cfg, attn_impl=attn_impl)
+    sims = jax.lax.dot_general(
+        emb.astype(jnp.float32), cache_keys.astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    sims = jnp.where(cache_valid[None, :], sims, -jnp.inf)
+    slot = jnp.argmax(sims, axis=1).astype(jnp.int32)
+    hit = jnp.max(sims, axis=1) >= cache_threshold
+    scores, out_ids = flat_topk(emb, vectors, valid_n, k=k, block_n=block_n,
+                                exact=exact)
+    return emb, hit, slot, scores, out_ids
+
+
 class FusedFrontend:
-    """Binds an embedder + cache + HNSW index into one-call retrieval."""
+    """Binds an embedder + cache + flat or HNSW index into one-call retrieval."""
 
     def __init__(self, embedder, cache, index, k: int = 3,
                  ef: Optional[int] = None, expand: int = 8):
@@ -89,9 +125,13 @@ class FusedFrontend:
         self.expand = expand
 
     def supported(self) -> bool:
+        from sqe_tpu.index.flat import FlatIndex
         from sqe_tpu.index.hnsw import HNSWIndex
 
-        return isinstance(self.index, HNSWIndex) and self.index.has_any_data()
+        return (
+            isinstance(self.index, (HNSWIndex, FlatIndex))
+            and self.index.has_any_data()
+        )
 
     def retrieve(self, texts, k: Optional[int] = None,
                  n_real: Optional[int] = None):
@@ -103,29 +143,44 @@ class FusedFrontend:
         """
         import numpy as np
 
+        from sqe_tpu.index.flat import FlatIndex
+
         k = k or self.k
         n_real = len(texts) if n_real is None else n_real
         idx = self.index
         n = len(idx)
-        ef = self.ef or idx.cfg.ef_search
-        ef = max(k, min(ef, n))
-        expand = max(1, min(self.expand, ef))
         ids, mask = self.embedder.tokenizer.encode_batch(texts)
         keys, valid, threshold = self.cache.device_arrays()
-        emb, hit, slot, scores, out_ids = retrieval_program(
-            self.embedder.params, ids, mask,
-            keys, valid, threshold,
-            idx._vectors, idx._graph, idx._pivots, idx._nbr_vecs,
-            idx._nbr_scales,
-            cfg=self.embedder.cfg,
-            attn_impl=self.embedder.attn_impl,
-            k=min(k, n),
-            ef=ef,
-            max_iters=ef // expand + 32,
-            n_seeds=min(32, ef, n),
-            expand=expand,
-            fused_gather=idx._nbr_vecs is not None,
-        )
+        if isinstance(idx, FlatIndex):
+            block = min(idx.block_n, idx._vectors.shape[0])
+            emb, hit, slot, scores, out_ids = retrieval_program_flat(
+                self.embedder.params, ids, mask,
+                keys, valid, threshold,
+                idx._vectors, jnp.int32(n),
+                cfg=self.embedder.cfg,
+                attn_impl=self.embedder.attn_impl,
+                k=min(k, n),
+                block_n=block,
+                exact=idx.exact,
+            )
+        else:
+            ef = self.ef or idx.cfg.ef_search
+            ef = max(k, min(ef, n))
+            expand = max(1, min(self.expand, ef))
+            emb, hit, slot, scores, out_ids = retrieval_program(
+                self.embedder.params, ids, mask,
+                keys, valid, threshold,
+                idx._vectors, idx._graph, idx._pivots, idx._nbr_vecs,
+                idx._nbr_scales,
+                cfg=self.embedder.cfg,
+                attn_impl=self.embedder.attn_impl,
+                k=min(k, n),
+                ef=ef,
+                max_iters=ef // expand + 32,
+                n_seeds=min(32, ef, n),
+                expand=expand,
+                fused_gather=idx._nbr_vecs is not None,
+            )
         emb_np = np.asarray(emb)[:n_real]
         cached = self.cache.resolve_external_probe(
             np.asarray(hit)[:n_real], np.asarray(slot)[:n_real]
