@@ -81,10 +81,25 @@ class ShardedFlatIndex:
         padded = _pad_to(emb, ns * s)
         sharding = NamedSharding(self.mesh, P(self.axis, None))
         self._vectors = jax.device_put(jnp.asarray(padded), sharding)
+        self._emb_host = emb
         self._shard_rows = s
         self._n = n
         self.metas = [_to_meta(m) for m in metas]
         self._search_fn = None
+
+    def add(self, embeddings: np.ndarray, metas: Sequence[Dict[str, Any] | Chunk]):
+        """Incremental insert: extend and re-shard (contiguous shard-major
+        layout means appends change shard boundaries; corpus-scale rebuilds
+        are one device_put)."""
+        emb = np.asarray(embeddings, dtype=np.float32)
+        if emb.size == 0:
+            return
+        old_metas = list(self.metas)
+        base = self._emb_host if self._n else np.zeros((0, emb.shape[1]), np.float32)
+        self.build(np.concatenate([base, emb]), old_metas + [_to_meta(m) for m in metas])
+
+    def valid_vectors(self) -> Optional[np.ndarray]:
+        return self._emb_host if self._n else None
 
     def _make_search(self, k: int):
         s = self._shard_rows
@@ -179,6 +194,24 @@ class ShardedHNSWIndex:
         self._shard_rows = 0
         self._n = 0
         self._search_fn = None
+        self._emb_host: Optional[np.ndarray] = None
+
+    def add(self, embeddings: np.ndarray, metas, force_numpy_builder: bool = False):
+        """Incremental insert by re-sharding + per-shard rebuild (shard-major
+        contiguous layout; ingestion batches amortize the rebuild)."""
+        emb = np.asarray(embeddings, dtype=np.float32)
+        if emb.size == 0:
+            return
+        old_metas = list(self.metas)
+        base = self._emb_host if self._n else np.zeros((0, emb.shape[1]), np.float32)
+        self.build(
+            np.concatenate([base, emb]),
+            old_metas + [_to_meta(m) for m in metas],
+            force_numpy_builder=force_numpy_builder,
+        )
+
+    def valid_vectors(self) -> Optional[np.ndarray]:
+        return self._emb_host if self._n else None
 
     def _use_fused(self) -> bool:
         if self.layout == "plain":
@@ -243,6 +276,7 @@ class ShardedHNSWIndex:
         )
         self._graph = jax.device_put(jnp.asarray(np.concatenate(graph_blocks)), vsh)
         self._pivots = jax.device_put(jnp.asarray(np.concatenate(pivot_blocks)), psh)
+        self._emb_host = emb
         self._shard_rows = s
         self._n = n
         self.metas = [_to_meta(m) for m in metas]

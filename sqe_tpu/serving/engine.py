@@ -56,9 +56,19 @@ class RAGEngine:
         stream_backend: Optional[GenerationBackend] = None,
         device: Optional[Any] = None,
         batching: bool = False,
+        mesh: Optional[Any] = None,
     ):
         self.cfg = cfg or EngineConfig()
         self.device = device
+        # Multi-chip serving: a mesh (or cfg.mesh_shape) shards the index
+        # across devices; per-shard search + all-gather top-k merge
+        # (parallel/sharded_index.py). Embedder/cache stay replicated-free on
+        # the default device (queries are small; the index is the big state).
+        if mesh is None and self.cfg.mesh_shape:
+            from sqe_tpu.parallel import make_mesh
+
+            mesh = make_mesh(tuple(self.cfg.mesh_shape), ("shard",))
+        self.mesh = mesh
         self.embedder = embedder or Embedder(self.cfg.model, device=device)
         if index is None:
             index = self._new_index()
@@ -75,6 +85,16 @@ class RAGEngine:
     # ------------------------------------------------------------------ index
 
     def _new_index(self) -> Any:
+        if self.mesh is not None:
+            from sqe_tpu.parallel import ShardedFlatIndex, ShardedHNSWIndex
+
+            if self.cfg.index_kind == "flat":
+                return ShardedFlatIndex(
+                    self.mesh, embed_dim=self.cfg.model.embed_dim
+                )
+            return ShardedHNSWIndex(
+                self.mesh, self.cfg.hnsw, embed_dim=self.cfg.model.embed_dim
+            )
         if self.cfg.index_kind == "flat":
             import jax as _jax
             import jax.numpy as _jnp
