@@ -27,7 +27,8 @@ def save_index(
     extra: Optional[dict] = None,
 ) -> None:
     os.makedirs(path, exist_ok=True)
-    arrays = {"vectors": vectors}
+    # npz can't roundtrip ml_dtypes (bfloat16) arrays; store float32.
+    arrays = {"vectors": np.asarray(vectors).astype(np.float32)}
     if graph is not None:
         arrays["graph"] = graph
     if levels is not None:
