@@ -42,7 +42,7 @@ NEG_INF = jnp.float32(-jnp.inf)
     jax.jit,
     static_argnames=(
         "k", "ef", "max_iters", "n_seeds", "expand", "fused_gather",
-        "approx_merge",
+        "approx_merge", "dedup_expansion",
     ),
 )
 def hnsw_search_batch(
@@ -60,6 +60,7 @@ def hnsw_search_batch(
     expand: int = 4,
     fused_gather: bool = False,
     approx_merge: bool = False,
+    dedup_expansion: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched beam search. Returns (scores [B, k], ids [B, k]).
 
@@ -133,11 +134,18 @@ def hnsw_search_batch(
         seen_cand = jnp.any(nbrs[:, :, None] == cand_ids[:, None, :], axis=2)
         seen_expl = jnp.any(nbrs[:, :, None] == explored_log[:, None, :], axis=2)
         em = e * m0
-        eq = nbrs[:, :, None] == nbrs[:, None, :]                 # [B, EM, EM]
-        tri = jax.lax.broadcasted_iota(jnp.int32, (em, em), 1) < \
-            jax.lax.broadcasted_iota(jnp.int32, (em, em), 0)
-        dup_prev = jnp.any(eq & tri[None], axis=2)
-        valid = valid & ~seen_cand & ~seen_expl & ~dup_prev
+        valid = valid & ~seen_cand & ~seen_expl
+        # Default off: transient in-expansion duplicates cost ~0.1% recall but
+        # the EMxEM compare costs ~16% throughput; the output list is deduped
+        # after the loop either way (measured A/B in DESIGN.md).
+        if dedup_expansion:
+            # Cross-parent duplicates within one expansion batch (children of
+            # one parent are unique by graph construction).
+            eq = nbrs[:, :, None] == nbrs[:, None, :]             # [B, EM, EM]
+            tri = jax.lax.broadcasted_iota(jnp.int32, (em, em), 1) < \
+                jax.lax.broadcasted_iota(jnp.int32, (em, em), 0)
+            dup_prev = jnp.any(eq & tri[None], axis=2)
+            valid = valid & ~dup_prev
 
         if fused_gather:
             sims = gather_dot(nbr_vecs, nid_safe, qf)             # [B, E*M0]
@@ -176,6 +184,15 @@ def hnsw_search_batch(
     state = (jnp.int32(0), cand_ids, cand_sims, explored, explored_log)
     _, cand_ids, cand_sims, _, _ = jax.lax.while_loop(cond, body, state)
 
+    if not dedup_expansion:
+        # Mask duplicate ids (keep the first occurrence) before the final cut.
+        dup = jnp.any(
+            (cand_ids[:, :, None] == cand_ids[:, None, :])
+            & (jax.lax.broadcasted_iota(jnp.int32, (ef, ef), 1)
+               < jax.lax.broadcasted_iota(jnp.int32, (ef, ef), 0))[None],
+            axis=2,
+        )
+        cand_sims = jnp.where(dup, -jnp.inf, cand_sims)
     out_sims, sel = jax.lax.top_k(cand_sims, k)
     out_ids = jnp.take_along_axis(cand_ids, sel, axis=1)
     out_ids = jnp.where(jnp.isfinite(out_sims), out_ids, -1)
