@@ -137,16 +137,22 @@ def main():
 
     vecs_bf16 = flat.vectors.astype(jnp.bfloat16)
     block = min(25_000, vecs_bf16.shape[0])
-    _fs, fids = flat_topk(q_dev, vecs_bf16, jnp.int32(n), k=k, block_n=block,
-                          exact=False)
-    flat_recall = float(epsilon_recall(vecs, queries, np.asarray(fids),
-                                       ref_scores, k))
-    log(f"exact-scan epsilon-recall@{k}: {flat_recall:.4f}")
-    flat_qps = timed_windows(
-        lambda: flat_topk(q_dev, vecs_bf16, jnp.int32(n), k=k, block_n=block,
-                          exact=False),
-        "exact MXU scan",
-    )
+
+    def scan_config(tag, approx):
+        _fs, fids = flat_topk(q_dev, vecs_bf16, jnp.int32(n), k=k,
+                              block_n=block, exact=False, approx_topk=approx)
+        r = float(epsilon_recall(vecs, queries, np.asarray(fids),
+                                 ref_scores, k))
+        log(f"{tag} epsilon-recall@{k}: {r:.4f}")
+        qps = timed_windows(
+            lambda: flat_topk(q_dev, vecs_bf16, jnp.int32(n), k=k,
+                              block_n=block, exact=False, approx_topk=approx),
+            tag,
+        )
+        return qps, r
+
+    flat_qps, flat_recall = scan_config("exact MXU scan", approx=False)
+    ascan_qps, ascan_recall = scan_config("approx-topk MXU scan", approx=True)
 
     # Headline: fastest engine that passes the recall gate.
     candidates = []
@@ -155,6 +161,10 @@ def main():
     if flat_recall >= 0.95:
         candidates.append(
             (flat_qps, f"exact_scan_qps_100k_1024d_recall{flat_recall:.3f}")
+        )
+    if ascan_recall >= 0.95:
+        candidates.append(
+            (ascan_qps, f"approx_scan_qps_100k_1024d_recall{ascan_recall:.3f}")
         )
     value, metric = max(candidates) if candidates else (0.0, "no_path_passed_gate")
     print(json.dumps({
