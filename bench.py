@@ -2,15 +2,22 @@
 
 Scale from BASELINE.json config 2/3: 100k synthetic 1024-d vectors (clustered,
 embedding-like geometry), batched query stream B=1024, bf16 vector storage.
-Two engines are measured and the faster recall-gated one is the headline:
+Three engines are measured; the fastest recall-gated one is the headline:
 
 - **exact MXU scan** (index/flat.py): blocked Q @ V^T + running top-k. On TPU
   this is the winning design at corpus scales up to several million vectors
-  per chip — batched brute force is pure MXU work, and recall is 1.0 by
-  construction (DESIGN.md §8).
-- **HNSW beam search** (index/hnsw.py, M=16, ef=72): the ANN engine for the
-  regimes where graph search wins (low-latency tiny batches, very large N).
-  Gated at epsilon-recall@10 >= 0.95 vs the HIGHEST-precision exact oracle.
+  per chip — batched brute force is pure MXU work (DESIGN.md §8).
+- **approx-topk MXU scan**: same matmuls, per-block candidate selection via
+  the TPU-optimized ``lax.approx_max_k`` aggregation (exact cross-block merge).
+- **HNSW beam search** (index/hnsw.py, M=16): the graph-ANN engine for the
+  regimes where it wins (tiny-batch latency, very large N). Best-effort
+  diagnostic — its device graph build depends on a remote compile service
+  with minutes-scale variance, so the headline never waits on it.
+
+Every engine is gated at epsilon-recall@10 >= 0.95 against the
+Precision.HIGHEST exact oracle (epsilon-recall: a returned id counts if its
+float64 similarity is within 1e-5 of the true k-th similarity — the standard
+ANN metric under score ties).
 
 ``vs_baseline`` normalizes against the BASELINE.json north-star throughput
 (>=50k QPS on v5e-8 => 6250 QPS/chip share).
@@ -48,9 +55,12 @@ def main():
 
     from sqe_tpu.config import HNSWConfig
     from sqe_tpu.index import FlatIndex, HNSWIndex
+    from sqe_tpu.index.flat import flat_topk
+    from sqe_tpu.ops.distance import l2_normalize
     from sqe_tpu.utils.compile_cache import enable as enable_compile_cache
 
     enable_compile_cache()
+    start = time.perf_counter()
 
     backend = jax.default_backend()
     device = jax.devices()[0]
@@ -67,73 +77,30 @@ def main():
     vecs, queries = allv[:n], allv[n:]
     metas = [{"doc_id": str(i), "text": ""} for i in range(n)]
 
-    t0 = time.perf_counter()
-    idx = HNSWIndex(
-        HNSWConfig(M=16, ef_search=ef), embed_dim=d,
-        vector_dtype=jnp.bfloat16, device=device,
-    )
-    idx.build(vecs, metas, builder="device")
-    build_s = time.perf_counter() - t0
-    log(f"device graph build: {build_s:.1f}s for {n} x {d}")
-
     flat = FlatIndex(embed_dim=d, block_n=25_000, device=device)
     flat.add(vecs, metas)
     t0 = time.perf_counter()
     ref_scores, _ref_ids = flat.search_ids(queries, k)
     log(f"exact oracle scan (HIGHEST precision): {time.perf_counter()-t0:.2f}s")
 
-    # In the serving pipeline query embeddings are produced on-device by the
-    # embedder, so retrieval is measured with device-resident queries.
-    import jax as _jax
+    # Queries stay on device: in the serving pipeline embeddings are produced
+    # there by the embedder.
+    q_dev = jax.device_put(l2_normalize(jnp.asarray(queries)), device)
 
-    from sqe_tpu.ops.distance import l2_normalize
-
-    q_dev = _jax.device_put(l2_normalize(jnp.asarray(queries)), device)
-
-    # Warmup (compile) then timed runs.
-    _, ids = idx.search_ids(q_dev, k, ef=ef)
-    recall = float(epsilon_recall(vecs, queries, ids, ref_scores, k))
-    log(f"epsilon-recall@{k} vs exact scan: {recall:.4f}")
-
-    # Sustained-throughput timing: dispatch R batches back-to-back on device
-    # (async dispatch, serving-style pipelining), sync once at the end. The
-    # device executes programs in order, so materializing the last result
-    # bounds completion of all of them.
-    from sqe_tpu.index.hnsw import hnsw_search_batch
-
-    expand = 16
-    kwargs = dict(
-        k=k, ef=ef, max_iters=ef // expand + 32, n_seeds=32, expand=expand,
-        fused_gather=idx._nbr_vecs is not None,
-    )
-    # The dev chip is shared/tunneled with bursty interference; time several
-    # windows and report the best one (min-over-windows measures machine
-    # capability, standard for noisy hosts).
+    # Sustained-throughput timing: dispatch R batches back-to-back (async
+    # dispatch, serving-style pipelining), sync once; min over several windows
+    # (the dev chip is shared/tunneled with bursty interference).
     def timed_windows(fn, tag, windows=5, reps=5):
         best = float("inf")
-        for w in range(windows):
+        for _w in range(windows):
             t0 = time.perf_counter()
             for _ in range(reps):
                 out = fn()
             _ = np.asarray(out[0])
-            window_ms = (time.perf_counter() - t0) / reps * 1e3
-            best = min(best, window_ms / 1e3)
+            best = min(best, (time.perf_counter() - t0) / reps)
         log(f"{tag}: {best*1e3:.2f} ms / {n_queries} queries "
             f"=> {n_queries/best:,.0f} QPS/chip")
         return n_queries / best
-
-    hnsw_qps = timed_windows(
-        lambda: hnsw_search_batch(
-            q_dev, idx._vectors, idx._graph, idx._pivots, idx._nbr_vecs,
-            **kwargs
-        ),
-        "hnsw beam search",
-    )
-
-    # Exact MXU scan (bf16 matmul, serving precision): recall 1.0 by
-    # construction — the top ids equal the oracle's up to matmul-precision
-    # ties, which epsilon-recall counts as correct.
-    from sqe_tpu.index.flat import flat_topk
 
     vecs_bf16 = flat.vectors.astype(jnp.bfloat16)
     block = min(25_000, vecs_bf16.shape[0])
@@ -154,10 +121,44 @@ def main():
     flat_qps, flat_recall = scan_config("exact MXU scan", approx=False)
     ascan_qps, ascan_recall = scan_config("approx-topk MXU scan", approx=True)
 
+    # HNSW graph path: best-effort diagnostic; the headline never waits on
+    # the graph-build compile (remote compile variance is minutes-scale).
+    hnsw_qps, hnsw_recall = 0.0, 0.0
+    if time.perf_counter() - start < 220:
+        try:
+            from sqe_tpu.index.hnsw import hnsw_search_batch
+
+            t0 = time.perf_counter()
+            idx = HNSWIndex(
+                HNSWConfig(M=16, ef_search=ef), embed_dim=d,
+                vector_dtype=jnp.bfloat16, device=device,
+            )
+            idx.build(vecs, metas, builder="device")
+            log(f"device graph build: {time.perf_counter()-t0:.1f}s")
+            _, ids = idx.search_ids(q_dev, k, ef=ef)
+            hnsw_recall = float(
+                epsilon_recall(vecs, queries, ids, ref_scores, k)
+            )
+            log(f"hnsw epsilon-recall@{k}: {hnsw_recall:.4f}")
+            expand = 16
+            kwargs = dict(
+                k=k, ef=ef, max_iters=ef // expand + 32, n_seeds=32,
+                expand=expand, fused_gather=idx._nbr_vecs is not None,
+            )
+            hnsw_qps = timed_windows(
+                lambda: hnsw_search_batch(
+                    q_dev, idx._vectors, idx._graph, idx._pivots,
+                    idx._nbr_vecs, **kwargs
+                ),
+                "hnsw beam search",
+            )
+        except Exception as exc:  # noqa: BLE001
+            log(f"hnsw diagnostic skipped: {exc}")
+    else:
+        log("hnsw diagnostic skipped (time budget)")
+
     # Headline: fastest engine that passes the recall gate.
     candidates = []
-    if recall >= 0.95:
-        candidates.append((hnsw_qps, f"hnsw_qps_100k_1024d_recall{recall:.3f}"))
     if flat_recall >= 0.95:
         candidates.append(
             (flat_qps, f"exact_scan_qps_100k_1024d_recall{flat_recall:.3f}")
@@ -165,6 +166,10 @@ def main():
     if ascan_recall >= 0.95:
         candidates.append(
             (ascan_qps, f"approx_scan_qps_100k_1024d_recall{ascan_recall:.3f}")
+        )
+    if hnsw_recall >= 0.95:
+        candidates.append(
+            (hnsw_qps, f"hnsw_qps_100k_1024d_recall{hnsw_recall:.3f}")
         )
     value, metric = max(candidates) if candidates else (0.0, "no_path_passed_gate")
     print(json.dumps({
