@@ -102,8 +102,13 @@ def main():
             f"=> {n_queries/best:,.0f} QPS/chip")
         return n_queries / best
 
-    vecs_bf16 = flat.vectors.astype(jnp.bfloat16)
-    block = min(25_000, vecs_bf16.shape[0])
+    # Serving layout for the timed scans: bf16, one block when the corpus
+    # fits (a [B, block] f32 score tile is the only intermediate).
+    block = min(131_072, n)
+    n_pad = -(-n // block) * block
+    vb = np.zeros((n_pad, d), np.float32)
+    vb[:n] = vecs
+    vecs_bf16 = jax.device_put(jnp.asarray(vb, dtype=jnp.bfloat16), device)
 
     def scan_config(tag, approx):
         _fs, fids = flat_topk(q_dev, vecs_bf16, jnp.int32(n), k=k,
@@ -124,7 +129,7 @@ def main():
     # HNSW graph path: best-effort diagnostic; the headline never waits on
     # the graph-build compile (remote compile variance is minutes-scale).
     hnsw_qps, hnsw_recall = 0.0, 0.0
-    if time.perf_counter() - start < 220:
+    if time.perf_counter() - start < 280:
         try:
             from sqe_tpu.index.hnsw import hnsw_search_batch
 
