@@ -51,12 +51,14 @@ class ShardedFlatIndex:
         mesh: Mesh,
         embed_dim: int = 1024,
         axis: str = "shard",
-        block_n: int = 65536,
+        block_n: int = 131072,
+        approx_topk: bool = False,
     ):
         self.mesh = mesh
         self.axis = axis
         self.embed_dim = embed_dim
         self.block_n = block_n
+        self.approx_topk = approx_topk
         self.n_shards = mesh.shape[axis]
         self.metas: List[Dict[str, Any]] = []
         self._vectors: Optional[jax.Array] = None  # [n_shards*S, D] sharded
@@ -112,7 +114,9 @@ class ShardedFlatIndex:
             shard = jax.lax.axis_index(axis)
             base = shard * s
             valid_local = jnp.clip(n_real - base, 0, s)
-            scores, ids = flat_topk(q, vecs, valid_local, k=k, block_n=block)
+            scores, ids = flat_topk(q, vecs, valid_local, k=k, block_n=block,
+                                    exact=False,
+                                    approx_topk=self.approx_topk)
             gids = jnp.where(ids >= 0, ids + base, -1)
             all_s = jax.lax.all_gather(scores, axis, axis=1, tiled=True)
             all_i = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
