@@ -102,6 +102,37 @@ def _xla_attention(q, k, v, bias):
     return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
+def _xla_attention_b(q, k, v, bias, n_heads):
+    """Same math with the [B, L] bias layout the flash kernel takes."""
+    bias_bh = jnp.repeat(bias, n_heads, axis=0)
+    return _xla_attention(q, k, v, bias_bh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_attention_ad(q, k, v, bias, n_heads):
+    """Differentiable wrapper: Pallas kernel forward, XLA-recomputed backward.
+
+    The backward pass recomputes attention with the XLA reference and takes
+    its VJP — exact up to the (~1e-3) forward-path precision difference, and
+    it keeps training available without a hand-written backward kernel
+    (ROADMAP item)."""
+    return _flash_attention(q, k, v, bias, n_heads=n_heads)
+
+
+def _flash_ad_fwd(q, k, v, bias, n_heads):
+    out = _flash_attention(q, k, v, bias, n_heads=n_heads)
+    return out, (q, k, v, bias)
+
+
+def _flash_ad_bwd(n_heads, residuals, g):
+    q, k, v, bias = residuals
+    _, vjp = jax.vjp(lambda *a: _xla_attention_b(*a, n_heads), q, k, v, bias)
+    return vjp(g)
+
+
+_flash_attention_ad.defvjp(_flash_ad_fwd, _flash_ad_bwd)
+
+
 def multihead_attention(
     x: jax.Array,
     mask: jax.Array,
@@ -136,10 +167,10 @@ def multihead_attention(
     if impl == "xla":
         bias_bh = jnp.repeat(bias, h, axis=0)
         o = _xla_attention(q, k, v, bias_bh)
-    elif impl in ("pallas", "pallas_interpret"):
-        o = _flash_attention(
-            q, k, v, bias, n_heads=h, interpret=(impl == "pallas_interpret")
-        )
+    elif impl == "pallas":
+        o = _flash_attention_ad(q, k, v, bias, h)
+    elif impl == "pallas_interpret":
+        o = _flash_attention(q, k, v, bias, n_heads=h, interpret=True)
     else:
         raise ValueError(f"unknown attention impl: {impl}")
 

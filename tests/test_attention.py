@@ -37,3 +37,31 @@ def test_flash_attention_blockwise_equivalence(rng):
     one = _flash_attention(q, k, v, bias, n_heads=1, block_k=128, interpret=True)
     many = _flash_attention(q, k, v, bias, n_heads=1, block_k=32, interpret=True)
     np.testing.assert_allclose(np.asarray(many), np.asarray(one), atol=1e-5)
+
+
+def test_pallas_attention_grad_matches_xla(rng):
+    """custom_vjp path: grads through the pallas impl == XLA grads (the
+    backward is an XLA recompute; interpret mode runs the kernel on CPU)."""
+    import jax
+
+    b, h, l, dm = 2, 2, 64, 64
+    x = jnp.asarray(rng.standard_normal((b, l, dm)) * 0.3, jnp.float32)
+    mask = jnp.ones((b, l), jnp.float32)
+    ws = [jnp.asarray(rng.standard_normal((dm, dm)) * 0.05, jnp.float32)
+          for _ in range(4)]
+
+    def loss(impl, wq):
+        out = multihead_attention(x, mask, wq, *ws[1:], n_heads=h, impl=impl)
+        return jnp.sum(out ** 2)
+
+    from sqe_tpu.ops import attention as A
+    orig = A._flash_attention
+    # Route the custom-vjp forward through interpret mode for the CPU test.
+    A._flash_attention = lambda *a, **k: orig(*a, interpret=True, **{kk: vv for kk, vv in k.items() if kk != "interpret"})
+    try:
+        g_pallas = jax.grad(lambda w: loss("pallas", w))(ws[0])
+    finally:
+        A._flash_attention = orig
+    g_xla = jax.grad(lambda w: loss("xla", w))(ws[0])
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
+                               atol=5e-3, rtol=5e-3)
