@@ -20,7 +20,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import tempfile
 import threading
 from typing import Optional, Tuple
 

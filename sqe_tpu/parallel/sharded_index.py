@@ -16,7 +16,6 @@ shards (gated in tests/test_sharded.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
