@@ -160,16 +160,19 @@ class Embedder:
         """
         if not texts:
             return np.zeros((0, self.cfg.embed_dim), dtype=np.float32)
-        out: List[np.ndarray] = []
+        # Dispatch all batches asynchronously (device programs pipeline),
+        # materialize to host once at the end.
+        pending: List[tuple] = []
         for i in range(0, len(texts), batch_size):
             batch = list(texts[i : i + batch_size])
             n = len(batch)
             if n < batch_size:
                 batch += [""] * (batch_size - n)
             ids, mask = self.tokenizer.encode_batch(batch, max_len=max_len)
-            emb = self.embed_tokens(ids, mask)
-            out.append(np.asarray(emb[:n]))
-        return np.concatenate(out, axis=0)
+            pending.append((self.embed_tokens(ids, mask), n))
+        return np.concatenate(
+            [np.asarray(emb[:n]) for emb, n in pending], axis=0
+        )
 
     def embed_query(self, query: str) -> np.ndarray:
         """Single-query embed -> [1, embed_dim] (reference contract app/main.py:172-180)."""
