@@ -67,7 +67,10 @@ class RAGEngine:
         if mesh is None and self.cfg.mesh_shape:
             from sqe_tpu.parallel import make_mesh
 
-            mesh = make_mesh(tuple(self.cfg.mesh_shape), ("shard",))
+            shape = self.cfg.mesh_shape
+            if isinstance(shape, int):  # e.g. --mesh_shape=8 from the CLI
+                shape = (shape,)
+            mesh = make_mesh(tuple(shape), ("shard",))
         self.mesh = mesh
         self.embedder = embedder or Embedder(self.cfg.model, device=device)
         if index is None:
@@ -366,4 +369,10 @@ class RAGEngine:
             "hits": self.cache.hits,
             "misses": self.cache.misses,
         }
+        if self._batcher is not None:
+            out["batcher"] = {
+                "requests": self._batcher.requests,
+                "device_batches": self._batcher.batches,
+                "fused": self._batcher._fused is not None,
+            }
         return out
