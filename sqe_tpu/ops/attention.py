@@ -21,6 +21,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
+# Test hook: route every pallas_call through interpret mode (CPU test runs).
+_FORCE_INTERPRET = False
+
 
 def _flash_attention_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, bk: int, scale: float):
     """One q-block of online-softmax attention for a single (batch, head).
@@ -69,6 +72,7 @@ def _flash_attention(
     interpret: bool = False,
 ) -> jax.Array:
     """q/k/v: [BH, L, D]; bias: [B, L] additive (0 or NEG_INF). Returns [BH, L, D]."""
+    interpret = interpret or _FORCE_INTERPRET
     bh, l, d = q.shape
     h = n_heads
     bq = min(block_q, l)
@@ -108,14 +112,94 @@ def _xla_attention_b(q, k, v, bias, n_heads):
     return _xla_attention(q, k, v, bias_bh)
 
 
+def _flash_attention_bwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, ds_sum_ref,
+    *, scale: float,
+):
+    """Backward for one (batch, head): recompute P in VMEM, produce all grads.
+
+    Shapes: q/k/v/do [1, L, D]; bias [1, 1, L]; outputs dq/dk/dv [1, L, D] and
+    ds_sum [1, 1, L] (the per-(b,h) bias-gradient contribution, summed over
+    query rows). Full-L recompute is exact and fits VMEM for the encoder's
+    chunk-bounded sequence lengths (L <= 512: ~3 MB of scratch values).
+    """
+    q = q_ref[0].astype(jnp.float32) * scale                    # [L, D]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    bias = bias_ref[0, 0, :].astype(jnp.float32)                # [L]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + bias[None, :]                                           # [L, L]
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+
+    # dV = P^T dO
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dP = dO V^T ; dS = P * (dP - rowsum(P * dP))
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(p * dp, axis=1, keepdims=True)
+    ds = p * (dp - delta)                                       # [L, L]
+
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # q already carries `scale`
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    ds_sum_ref[0, 0, :] = jnp.sum(ds, axis=0)
+
+
+def _flash_attention_bwd(q, k, v, bias, do, *, n_heads, interpret=False):
+    """q/k/v/do: [BH, L, D]; bias [B, L]. Returns (dq, dk, dv, dbias)."""
+    interpret = interpret or _FORCE_INTERPRET
+    bh, l, d = q.shape
+    h = n_heads
+    scale = 1.0 / (d ** 0.5)
+    kernel = functools.partial(_flash_attention_bwd_kernel, scale=scale)
+    dq, dk, dv, ds_sum = pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l), lambda i: (i // h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, l, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, l, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, l, d), v.dtype),
+            jax.ShapeDtypeStruct((bh, 1, l), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias[:, None, :], do)
+    b = bias.shape[0]
+    dbias = jnp.sum(ds_sum.reshape(b, h, l), axis=1)            # [B, L]
+    return dq, dk, dv, dbias
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _flash_attention_ad(q, k, v, bias, n_heads):
-    """Differentiable wrapper: Pallas kernel forward, XLA-recomputed backward.
-
-    The backward pass recomputes attention with the XLA reference and takes
-    its VJP — exact up to the (~1e-3) forward-path precision difference, and
-    it keeps training available without a hand-written backward kernel
-    (ROADMAP item)."""
+    """Differentiable Pallas attention: flash forward, full-recompute Pallas
+    backward (both kernels; parity-gated against XLA grads in tests)."""
     return _flash_attention(q, k, v, bias, n_heads=n_heads)
 
 
@@ -126,8 +210,7 @@ def _flash_ad_fwd(q, k, v, bias, n_heads):
 
 def _flash_ad_bwd(n_heads, residuals, g):
     q, k, v, bias = residuals
-    _, vjp = jax.vjp(lambda *a: _xla_attention_b(*a, n_heads), q, k, v, bias)
-    return vjp(g)
+    return _flash_attention_bwd(q, k, v, bias, g, n_heads=n_heads)
 
 
 _flash_attention_ad.defvjp(_flash_ad_fwd, _flash_ad_bwd)

@@ -55,13 +55,12 @@ def test_pallas_attention_grad_matches_xla(rng):
         return jnp.sum(out ** 2)
 
     from sqe_tpu.ops import attention as A
-    orig = A._flash_attention
-    # Route the custom-vjp forward through interpret mode for the CPU test.
-    A._flash_attention = lambda *a, **k: orig(*a, interpret=True, **{kk: vv for kk, vv in k.items() if kk != "interpret"})
+    # Route both pallas kernels through interpret mode for the CPU test.
+    A._FORCE_INTERPRET = True
     try:
         g_pallas = jax.grad(lambda w: loss("pallas", w))(ws[0])
     finally:
-        A._flash_attention = orig
+        A._FORCE_INTERPRET = False
     g_xla = jax.grad(lambda w: loss("xla", w))(ws[0])
     np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
                                atol=5e-3, rtol=5e-3)
