@@ -94,6 +94,14 @@ def flat_topk(
     return top_s, top_i
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=())
+def _insert_rows(buffer: jax.Array, rows: jax.Array, start: jax.Array) -> jax.Array:
+    """In-place (donated) row insertion into the preallocated vector buffer."""
+    return jax.lax.dynamic_update_slice(
+        buffer, rows.astype(buffer.dtype), (start, 0)
+    )
+
+
 class FlatIndex:
     """Device-resident exact cosine index with host-side chunk metadata."""
 
@@ -140,7 +148,12 @@ class FlatIndex:
         metas: Sequence[Dict[str, Any] | Chunk],
     ) -> None:
         """Insert rows (normalized on device). Mirrors add_embeddings
-        (app/main.py:309-338) minus the HTTP bulk batching."""
+        (app/main.py:309-338) minus the HTTP bulk batching.
+
+        The device buffer is preallocated with doubling growth; inserts write
+        rows in place (donated dynamic_update_slice) instead of re-uploading
+        the corpus, so incremental ingestion (the /upload_text path) costs
+        O(new rows), not O(index size)."""
         if embeddings.size == 0:
             return
         assert embeddings.shape[0] == len(metas)
@@ -150,18 +163,33 @@ class FlatIndex:
             {"doc_id": m.doc_id, "text": m.text} if isinstance(m, Chunk) else dict(m)
             for m in metas
         ]
-        if self._vectors is None:
-            stacked = emb
+        n_new = emb.shape[0]
+        needed = self._n + n_new
+        cap = 0 if self._vectors is None else self._vectors.shape[0]
+        if needed > cap:
+            # Grow: power-of-two doubling (always divisible by block_n once
+            # past it, so the blocked scan needs no re-padding).
+            new_cap = max(8, cap)
+            while new_cap < needed:
+                new_cap *= 2
+            buf = np.zeros((new_cap, self.embed_dim), np.float32)
+            if self._n:
+                buf[: self._n] = np.asarray(
+                    self._vectors[: self._n], dtype=np.float32
+                )
+            buf[self._n : needed] = emb
+            arr = jnp.asarray(buf, dtype=self.dtype)
+            if self.device is not None:
+                arr = jax.device_put(arr, self.device)
+            self._vectors = arr
         else:
-            stacked = np.concatenate(
-                [np.asarray(self._vectors[: self._n]), emb], axis=0
+            update = jnp.asarray(emb, dtype=self.dtype)
+            if self.device is not None:
+                update = jax.device_put(update, self.device)
+            self._vectors = _insert_rows(
+                self._vectors, update, jnp.int32(self._n)
             )
-        self._n = stacked.shape[0]
-        padded = _pad_rows(stacked, min(self.block_n, max(self._n, 8)))
-        arr = jnp.asarray(padded, dtype=self.dtype)
-        if self.device is not None:
-            arr = jax.device_put(arr, self.device)
-        self._vectors = arr
+        self._n = needed
         self.metas.extend(new_metas)
 
     def search_ids(
@@ -173,7 +201,12 @@ class FlatIndex:
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
         q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
         k_eff = min(k, self._n)
-        block = min(self.block_n, self._vectors.shape[0])
+        length = self._vectors.shape[0]
+        block = min(self.block_n, length)
+        if length % block:
+            # Capacity grows in powers of two; fall back to the largest
+            # power-of-two block that divides it.
+            block = 1 << (min(self.block_n, length).bit_length() - 1)
         scores, ids = flat_topk(
             q, self._vectors, jnp.int32(self._n), k=k_eff, block_n=block,
             exact=self.exact,

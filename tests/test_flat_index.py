@@ -65,3 +65,21 @@ def test_search_contract(rng, cpu_device):
     assert res[0][1] > 0.999
     # Empty query embedding -> [] (reference app/main.py:350-351).
     assert idx.search(np.zeros((0, d), np.float32), 3) == []
+
+
+def test_preallocated_growth_and_inplace_insert(rng, cpu_device):
+    """Incremental adds reuse the preallocated buffer (O(new rows), not
+    O(index)) and searches stay correct across growth boundaries."""
+    d = 16
+    idx = FlatIndex(embed_dim=d, block_n=64, device=cpu_device)
+    all_vecs = rng.standard_normal((70, d)).astype(np.float32)
+    idx.add(all_vecs[:5], [{"doc_id": f"d{i}", "text": ""} for i in range(5)])
+    cap_after_first = idx.vectors.shape[0]
+    idx.add(all_vecs[5:8], [{"doc_id": f"d{i}", "text": ""} for i in range(5, 8)])
+    assert idx.vectors.shape[0] == cap_after_first  # in-place, no regrow
+    idx.add(all_vecs[8:70], [{"doc_id": f"d{i}", "text": ""} for i in range(8, 70)])
+    assert len(idx) == 70
+    assert idx.vectors.shape[0] >= 70
+    _, ref_ids = _numpy_topk(all_vecs, all_vecs[:3], 7)
+    _, ids = idx.search_ids(all_vecs[:3], 7)
+    np.testing.assert_array_equal(np.sort(ids, 1), np.sort(ref_ids, 1))
