@@ -97,8 +97,10 @@ def build_router(
             await ws.send_text("[ERROR] Empty query.")
             return
         top_k = int(data.get("top_k", engine.cfg.serve.top_k_default))
+        chat_id = str(data.get("chat_id", "") or "") or None
         try:
-            async for chunk in engine.ask_stream(query, top_k=top_k):
+            async for chunk in engine.ask_stream(query, top_k=top_k,
+                                                 chat_id=chat_id):
                 await ws.send_text(chunk)
         except WebSocketDisconnect:
             log.info("client disconnected mid-stream")

@@ -332,10 +332,12 @@ class RAGEngine:
         query: str,
         top_k: Optional[int] = None,
         namespace: str = DEFAULT_NAMESPACE,
+        chat_id: Optional[str] = None,
     ) -> AsyncGenerator[str, None]:
         """Streaming pipeline (reference WS path, app/main.py:650-735): yields
         chunks; a cache hit yields the full cached answer as one chunk; the
-        completed answer is cached after the stream ends."""
+        completed answer is cached after the stream ends. Chat memory is
+        opt-in via ``chat_id`` (the reference's WS path had none — B6)."""
         if not query.strip():
             yield "[ERROR] Empty query."
             return
@@ -343,8 +345,11 @@ class RAGEngine:
         timer = StageTimer(self.metrics)
         self.metrics.inc("queries")
 
+        memory = self.memory.get(chat_id) if chat_id else None
+        chat_history = memory.buffer_as_str if memory else ""
+
         cached, query_emb, prompt = await self._prepare(
-            query, top_k, "", namespace, timer
+            query, top_k, chat_history, namespace, timer
         )
         if cached is not None:
             yield cached
@@ -357,6 +362,8 @@ class RAGEngine:
                 yield chunk
         final = "".join(chunks)
         if final.strip() and not final.startswith("[ERROR]"):
+            if memory is not None:
+                memory.save_context(query, final)
             self.cache.put(query_emb, final)
 
     def stats(self) -> dict:

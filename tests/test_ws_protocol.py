@@ -92,3 +92,21 @@ def test_client_disconnect_midstream_no_crash(engine):
             return await asyncio.wait_for(ws2.recv(), timeout=10)
 
     assert run_ws(engine, fn)
+
+
+def test_ws_optional_chat_memory(engine):
+    """chat_id in the WS payload opts into conversation memory (an extension
+    over the reference, whose WS path had none — SURVEY B6)."""
+    async def fn():
+        async with websockets.connect(f"ws://127.0.0.1:{PORT}/ws/ask") as ws:
+            await ws.send(json.dumps({"query": "a ws question about gene6",
+                                      "top_k": 2, "chat_id": "wschat"}))
+            try:
+                while True:
+                    await asyncio.wait_for(ws.recv(), timeout=10)
+            except (websockets.ConnectionClosed, asyncio.TimeoutError):
+                pass
+        return engine.memory.get("wschat").buffer_as_str
+
+    history = run_ws(engine, fn)
+    assert "a ws question about gene6" in history
