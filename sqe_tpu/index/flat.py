@@ -25,14 +25,6 @@ from sqe_tpu.data.corpus import Chunk
 from sqe_tpu.ops.distance import l2_normalize
 
 
-def _pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
-    n = x.shape[0]
-    rem = (-n) % multiple
-    if rem:
-        x = np.concatenate([x, np.zeros((rem,) + x.shape[1:], x.dtype)], axis=0)
-    return x
-
-
 @functools.partial(jax.jit, static_argnames=("k", "block_n", "exact", "approx_topk"))
 def flat_topk(
     queries: jax.Array,      # [B, D] normalized
