@@ -59,6 +59,21 @@ def build_router(
     router = Router()
     upload_dir = upload_dir or engine.cfg.serve.upload_dir
 
+    @router.route("GET", "/")
+    async def root(_request: Request) -> Response:
+        # Service metadata (the reference exposed FastAPI title/description,
+        # app/main.py:554-565).
+        return Response.json({
+            "title": "sqe_tpu — TPU-native RAG serving",
+            "version": __import__("sqe_tpu").__version__,
+            "description": (
+                "Retrieval-augmented generation: in-process TPU embeddings, "
+                "device-resident semantic cache, exact/HNSW retrieval, "
+                "pluggable generation backends"
+            ),
+            "endpoints": ["/ask", "/ws/ask", "/upload_text", "/health", "/stats"],
+        })
+
     @router.route("GET", "/health")
     async def health(_request: Request) -> Response:
         return Response.json({"status": "ok", "indexed": len(engine.index)})
