@@ -183,6 +183,9 @@ async def serve(
     cfg = engine.cfg.serve
     router = build_router(engine, auth_hook)
     server = Server(router, host or cfg.host, port or cfg.port)
+    if engine.batching and engine.index.has_any_data():
+        warmed = await asyncio.to_thread(engine._get_batcher().prewarm_sync)
+        log.info("prewarmed %d retrieval programs", warmed)
     if upload_port:
         upload_server = Server(router, host or cfg.host, upload_port)
         await upload_server.start()

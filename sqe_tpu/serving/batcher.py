@@ -78,6 +78,22 @@ class RetrievalBatcher:
                 pass
             self._task = None
 
+    def prewarm_sync(self) -> int:
+        """Compile the fused front-half for every power-of-two batch bucket
+        before traffic arrives — first requests otherwise pay the compiles
+        (observed as multi-second p99 on cold start). Returns the number of
+        programs warmed."""
+        fused = self._get_fused()
+        if fused is None:
+            return 0
+        sizes = [1]
+        while sizes[-1] < self.max_batch:
+            sizes.append(sizes[-1] * 2)
+        for bsize in sizes:
+            fused.retrieve([""] * bsize, k=self.top_k, n_real=0)
+        self._prewarmed = True
+        return len(sizes)
+
     async def retrieve(self, query: str, top_k: Optional[int] = None) -> RetrievalResult:
         await self.start()
         fut: asyncio.Future = asyncio.get_running_loop().create_future()

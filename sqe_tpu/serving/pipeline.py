@@ -150,6 +150,14 @@ class FusedFrontend:
         idx = self.index
         n = len(idx)
         ids, mask = self.embedder.tokenizer.encode_batch(texts)
+        # Length-bucket the forward (embeddings are padding-invariant).
+        longest = int(mask.sum(axis=1).max())
+        full_len = ids.shape[1]
+        bucket = next(
+            (b for b in self.embedder.LEN_BUCKETS if longest <= b <= full_len),
+            full_len,
+        )
+        ids, mask = ids[:, :bucket], mask[:, :bucket]
         keys, valid, threshold = self.cache.device_arrays()
         if isinstance(idx, FlatIndex):
             block = min(idx.block_n, idx._vectors.shape[0])

@@ -64,3 +64,22 @@ def test_batched_cache_hits(stack):
     assert r1.cached is None
     assert r2.cached == "a cached answer"
     assert r2.results == []
+
+
+def test_prewarm(stack):
+    emb, idx, cache = stack
+    batcher = RetrievalBatcher(emb, cache, idx, max_batch=8)
+    warmed = batcher.prewarm_sync()
+    assert warmed == 4  # buckets 1, 2, 4, 8
+    misses_before = cache.misses
+
+    async def main():
+        r = await batcher.retrieve("post-warm question about condition1")
+        await batcher.stop()
+        return r
+
+    import asyncio as _a
+    r = _a.run(main())
+    assert len(r.results) == 3
+    # Prewarm rows never touched cache counters (n_real=0).
+    assert cache.misses == misses_before + 1

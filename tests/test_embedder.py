@@ -35,3 +35,15 @@ def test_embed_query_contract(small_model_cfg, cpu_device):
     assert q.shape == (1, small_model_cfg.embed_dim)
     # Empty query -> empty array (reference app/main.py:176-177).
     assert emb.embed_query("   ").shape == (0, small_model_cfg.embed_dim)
+
+
+def test_length_bucket_invariance(small_model_cfg, cpu_device):
+    """Embeddings are identical whichever length bucket a text runs in
+    (masked attention + masked mean pooling => padding-invariant)."""
+    emb = Embedder(small_model_cfg, attn_impl="xla", device=cpu_device)
+    text = "short question about kidneys"
+    # Force the long program by batching with a long text, then alone (short).
+    long_text = " ".join(f"w{i}" for i in range(60))
+    together = emb.embed_texts([text, long_text], batch_size=2)
+    alone = emb.embed_texts([text], batch_size=1)
+    np.testing.assert_allclose(alone[0], together[0], atol=2e-5)
