@@ -56,6 +56,11 @@ async def run(n_chunks, n_requests, concurrency, batching):
     port = 8899
     server = Server(build_router(engine), "127.0.0.1", port)
     await server.start()
+    if batching:
+        t0 = time.perf_counter()
+        warmed = await asyncio.to_thread(engine._get_batcher().prewarm_sync)
+        print(f"prewarmed {warmed} programs in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
 
     url = f"http://127.0.0.1:{port}/ask"
     latencies = []
