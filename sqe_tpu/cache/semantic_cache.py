@@ -55,11 +55,17 @@ def _probe_and_bump(
     return hit, slot, freqs + bump
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+# Only freqs are donated: every dispatch touching freqs happens under the
+# cache lock, so donation is safe. keys/valid must NOT be donated — the fused
+# pipeline (serving/pipeline.py) captures them via device_arrays() and
+# dispatches WITHOUT the lock from the batcher thread; donating them in a
+# concurrent put() would delete the captured buffers mid-flight ("Array has
+# been deleted" on TPU, where donation actually aliases).
+@functools.partial(jax.jit, donate_argnums=(1,))
 def _insert(
-    keys: jax.Array,      # [C, D] (donated)
+    keys: jax.Array,      # [C, D]
     freqs: jax.Array,     # [C] (donated)
-    valid: jax.Array,     # [C] (donated)
+    valid: jax.Array,     # [C]
     new_key: jax.Array,   # [D]
     size: jax.Array,      # scalar int32: current number of valid entries
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:

@@ -15,6 +15,7 @@ Search results follow the reference's contract: a list of
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -117,6 +118,11 @@ class FlatIndex:
         self.metas: List[Dict[str, Any]] = []
         self._vectors: Optional[jax.Array] = None   # [N_padded, D] on device
         self._n = 0
+        # Guards add() (which DONATES the live buffer) against a concurrent
+        # capture-then-dispatch of _vectors from another thread (the fused
+        # pipeline / batcher). Hold across capture + dispatch; execution
+        # after dispatch is stream-ordered and needs no lock.
+        self.lock = threading.RLock()
 
     # -- reference API parity: OpenSearchIndexer.has_any_data (main.py:300-307)
     def has_any_data(self) -> bool:
@@ -130,9 +136,10 @@ class FlatIndex:
         return self._vectors
 
     def valid_vectors(self) -> Optional[jax.Array]:
-        if self._vectors is None:
-            return None
-        return self._vectors[: self._n]
+        with self.lock:
+            if self._vectors is None:
+                return None
+            return self._vectors[: self._n]
 
     def add(
         self,
@@ -155,6 +162,10 @@ class FlatIndex:
             {"doc_id": m.doc_id, "text": m.text} if isinstance(m, Chunk) else dict(m)
             for m in metas
         ]
+        with self.lock:
+            self._add_locked(emb, new_metas)
+
+    def _add_locked(self, emb: np.ndarray, new_metas: List[Dict[str, Any]]) -> None:
         n_new = emb.shape[0]
         needed = self._n + n_new
         cap = 0 if self._vectors is None else self._vectors.shape[0]
@@ -192,17 +203,18 @@ class FlatIndex:
             b = np.asarray(query_emb).shape[0]
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
         q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
-        k_eff = min(k, self._n)
-        length = self._vectors.shape[0]
-        block = min(self.block_n, length)
-        if length % block:
-            # Capacity grows in powers of two; fall back to the largest
-            # power-of-two block that divides it.
-            block = 1 << (min(self.block_n, length).bit_length() - 1)
-        scores, ids = flat_topk(
-            q, self._vectors, jnp.int32(self._n), k=k_eff, block_n=block,
-            exact=self.exact,
-        )
+        with self.lock:   # capture+dispatch must exclude a concurrent donate
+            k_eff = min(k, self._n)
+            length = self._vectors.shape[0]
+            block = min(self.block_n, length)
+            if length % block:
+                # Capacity grows in powers of two; fall back to the largest
+                # power-of-two block that divides it.
+                block = 1 << (min(self.block_n, length).bit_length() - 1)
+            scores, ids = flat_topk(
+                q, self._vectors, jnp.int32(self._n), k=k_eff, block_n=block,
+                exact=self.exact,
+            )
         return np.asarray(scores), np.asarray(ids)
 
     def search(

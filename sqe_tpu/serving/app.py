@@ -44,6 +44,12 @@ log = get_logger("serving.app")
 AuthHook = Callable[[str], Awaitable[bool]]
 
 
+def _safe_namespace(raw: str) -> str:
+    """Sanitize a namespace the same way upload sanitizes user ids, so the
+    namespace queried is the namespace uploads landed in."""
+    return "".join(c for c in raw if c.isalnum() or c in "-_")
+
+
 async def allow_all_auth(user_id: str) -> bool:
     """Default auth hook: accepts any non-empty user id. Replace with a real
     backend (the reference used a Postgres users-table lookup that failed
@@ -97,7 +103,12 @@ def build_router(
                 {"query": query, "answer": "[ERROR] Incorrect account/chat details!"}
             )
         top_k = int(payload.get("top_k", engine.cfg.serve.top_k_default))
-        answer = await engine.ask(query, chat_id=chat_id, top_k=top_k)
+        # Optional namespace: query documents a user ingested via
+        # /upload_text (per-user index, embedding_gen.py:407) instead of the
+        # default corpus.
+        namespace = _safe_namespace(str(payload.get("namespace", "") or ""))
+        kwargs = {"namespace": namespace} if namespace else {}
+        answer = await engine.ask(query, chat_id=chat_id, top_k=top_k, **kwargs)
         return Response.json({"query": query, "answer": answer})
 
     @router.websocket("/ws/ask")
@@ -113,9 +124,11 @@ def build_router(
             return
         top_k = int(data.get("top_k", engine.cfg.serve.top_k_default))
         chat_id = str(data.get("chat_id", "") or "") or None
+        namespace = _safe_namespace(str(data.get("namespace", "") or ""))
+        kwargs = {"namespace": namespace} if namespace else {}
         try:
             async for chunk in engine.ask_stream(query, top_k=top_k,
-                                                 chat_id=chat_id):
+                                                 chat_id=chat_id, **kwargs):
                 await ws.send_text(chunk)
         except WebSocketDisconnect:
             log.info("client disconnected mid-stream")
@@ -162,6 +175,11 @@ def build_router(
             )
             if n_chunks == 0:
                 raise HTTPError(400, f"File '{filename}' produced no text chunks.")
+
+        # Make the upload durable: persist this namespace's index so a restart
+        # can serve it (the reference's per-user indices lived in OpenSearch).
+        if engine.cfg.checkpoint_dir:
+            await asyncio.to_thread(engine.save_namespace, safe_user)
 
         return Response.json(
             f"Uploaded {len(files)} files & embedded documents for user='{user_id}'."

@@ -16,6 +16,8 @@ pluggable auth hook"); implementations here:
 from __future__ import annotations
 
 import os
+import re
+import urllib.parse
 from typing import Optional
 
 from sqe_tpu.utils.logging import get_logger
@@ -26,6 +28,11 @@ except Exception:  # pragma: no cover
     httpx = None
 
 log = get_logger("serving.auth")
+
+# The reference's auth lookup was a parameterized SQL query with no injection
+# surface (embedding_gen.py:296-304); the HTTP delegate must match that:
+# only ids from this safe set are ever interpolated into a URL path.
+_SAFE_USER_ID = re.compile(r"^[A-Za-z0-9_-]{1,128}$")
 
 
 async def allow_all_auth(user_id: str) -> bool:
@@ -77,6 +84,11 @@ class HTTPAuth:
     async def __call__(self, user_id: str) -> bool:
         if httpx is None or not user_id.strip():
             return False
+        # Reject ids that could redirect the authorization check ('/', '..',
+        # '?', '#', ...) before they reach the URL; percent-encode the rest.
+        if not _SAFE_USER_ID.match(user_id):
+            log.warning("auth: rejecting unsafe user id %r", user_id[:64])
+            return False
         headers = (
             {"Authorization": f"Bearer {self.bearer_token}"}
             if self.bearer_token else {}
@@ -84,7 +96,8 @@ class HTTPAuth:
         try:
             async with httpx.AsyncClient() as client:
                 resp = await client.get(
-                    f"{self.base_url}/users/{user_id}",
+                    f"{self.base_url}/users/"
+                    + urllib.parse.quote(user_id, safe=""),
                     headers=headers, timeout=self.timeout_s,
                 )
                 return resp.status_code == 200

@@ -79,20 +79,29 @@ class RetrievalBatcher:
             self._task = None
 
     def prewarm_sync(self) -> int:
-        """Compile the fused front-half for every power-of-two batch bucket
-        before traffic arrives — first requests otherwise pay the compiles
-        (observed as multi-second p99 on cold start). Returns the number of
-        programs warmed."""
+        """Compile the fused front-half for every (batch bucket x length
+        bucket) pair before traffic arrives — first requests otherwise pay
+        the compiles (observed as multi-second p99 on cold start). Distinct
+        length buckets are distinct programs, so warming only empty strings
+        (the 64-token bucket) would leave the 128/256/512 buckets cold.
+        Returns the number of programs warmed."""
         fused = self._get_fused()
         if fused is None:
             return 0
         sizes = [1]
         while sizes[-1] < self.max_batch:
             sizes.append(sizes[-1] * 2)
-        for bsize in sizes:
-            fused.retrieve([""] * bsize, k=self.top_k, n_real=0)
+        max_len = self.embedder.tokenizer.max_len
+        lengths = [b for b in self.embedder.LEN_BUCKETS if b <= max_len] or [max_len]
+        warmed = 0
+        for lb in lengths:
+            # lb-1 words + CLS tokenize to exactly lb tokens -> bucket lb.
+            text = " ".join(["warm"] * (lb - 1))
+            for bsize in sizes:
+                fused.retrieve([text] * bsize, k=self.top_k, n_real=0)
+                warmed += 1
         self._prewarmed = True
-        return len(sizes)
+        return warmed
 
     async def retrieve(self, query: str, top_k: Optional[int] = None) -> RetrievalResult:
         await self.start()

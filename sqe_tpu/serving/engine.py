@@ -187,10 +187,7 @@ class RAGEngine:
 
     # ------------------------------------------------------------- checkpoints
 
-    def save_checkpoint(self, path: Optional[str] = None) -> None:
-        path = path or self.cfg.checkpoint_dir
-        assert path, "no checkpoint dir configured"
-        idx = self.index
+    def _save_one_index(self, idx: Any, path: str) -> None:
         graph = getattr(idx, "_graph_host", None)
         levels = getattr(idx, "_levels_host", None)
         vectors = (
@@ -200,16 +197,8 @@ class RAGEngine:
             path, vectors, idx.metas, graph=graph, levels=levels,
             extra={"index_kind": self.cfg.index_kind},
         )
-        ckpt.save_cache(path, self.cache.snapshot())
-        log.info("checkpoint saved to %s", path)
 
-    def load_checkpoint(self, path: Optional[str] = None) -> bool:
-        path = path or self.cfg.checkpoint_dir
-        if not path:
-            return False
-        state = ckpt.load_index(path)
-        if state is None:
-            return False
+    def _restore_one_index(self, state: dict) -> Any:
         idx = self._new_index()
         if "graph" in state and hasattr(idx, "_graph_host"):
             idx._vectors_host = state["vectors"]
@@ -219,11 +208,59 @@ class RAGEngine:
             idx._refresh_device()
         else:
             idx.add(state["vectors"], state["metas"])
+        return idx
+
+    def save_checkpoint(self, path: Optional[str] = None) -> None:
+        """Persist ALL namespaces: the default corpus index at the checkpoint
+        root (round-1 layout, unchanged) and each per-user namespace under
+        ``namespaces/<ns>/`` — so documents ingested via /upload_text survive
+        a restart (the reference kept per-user indices durable inside
+        OpenSearch, embedding_gen.py:83-122)."""
+        path = path or self.cfg.checkpoint_dir
+        assert path, "no checkpoint dir configured"
+        self._save_one_index(self.index, path)
+        for ns, idx in self.indices.items():
+            if ns == DEFAULT_NAMESPACE or idx is None or not idx.has_any_data():
+                continue
+            self._save_one_index(idx, os.path.join(path, "namespaces", ns))
+        ckpt.save_cache(path, self.cache.snapshot())
+        log.info("checkpoint saved to %s (%d namespaces)", path, len(self.indices))
+
+    def save_namespace(self, namespace: str, path: Optional[str] = None) -> None:
+        """Persist one namespace's index (cheap: O(namespace), not O(corpus)).
+        The upload route calls this after each successful ingest so uploaded
+        documents are durable without rewriting the main corpus index."""
+        path = path or self.cfg.checkpoint_dir
+        if not path or namespace == DEFAULT_NAMESPACE:
+            return
+        idx = self.indices.get(namespace)
+        if idx is None or not idx.has_any_data():
+            return
+        self._save_one_index(idx, os.path.join(path, "namespaces", namespace))
+        log.info("namespace %s checkpointed (%d vectors)", namespace, len(idx))
+
+    def load_checkpoint(self, path: Optional[str] = None) -> bool:
+        path = path or self.cfg.checkpoint_dir
+        if not path:
+            return False
+        state = ckpt.load_index(path)
+        if state is None:
+            return False
+        idx = self._restore_one_index(state)
         self.indices[DEFAULT_NAMESPACE] = idx
+        ns_root = os.path.join(path, "namespaces")
+        if os.path.isdir(ns_root):
+            for ns in sorted(os.listdir(ns_root)):
+                ns_state = ckpt.load_index(os.path.join(ns_root, ns))
+                if ns_state is not None:
+                    self.indices[ns] = self._restore_one_index(ns_state)
         cache_state = ckpt.load_cache(path)
         if cache_state is not None:
             self.cache.restore(cache_state)
-        log.info("checkpoint loaded from %s (%d vectors)", path, len(idx))
+        log.info(
+            "checkpoint loaded from %s (%d vectors, %d namespaces)",
+            path, len(idx), len(self.indices),
+        )
         return True
 
     # ---------------------------------------------------------------- pipeline

@@ -122,9 +122,10 @@ class WebSocket:
         self._writer = writer
         self.closed = False
 
-    async def _read_frame(self) -> Tuple[int, bytes]:
+    async def _read_frame(self) -> Tuple[int, bytes, bool]:
         header = await self._reader.readexactly(2)
         b1, b2 = header
+        fin = bool(b1 & 0x80)
         opcode = b1 & 0x0F
         masked = bool(b2 & 0x80)
         length = b2 & 0x7F
@@ -138,7 +139,7 @@ class WebSocket:
         payload = await self._reader.readexactly(length)
         if masked:
             payload = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
-        return opcode, payload
+        return opcode, payload, fin
 
     async def _send_frame(self, opcode: int, payload: bytes) -> None:
         if self.closed:
@@ -155,21 +156,32 @@ class WebSocket:
         await self._writer.drain()
 
     async def receive_text(self) -> str:
-        """Read the next text message, transparently handling ping/close."""
+        """Read the next text message, transparently handling ping/close and
+        reassembling fragmented messages (RFC 6455 §5.4: a FIN=0 text frame
+        followed by continuation frames, control frames may interleave)."""
+        fragments: Optional[list] = None   # in-progress fragmented text
         while True:
             try:
-                opcode, payload = await self._read_frame()
+                opcode, payload, fin = await self._read_frame()
             except (asyncio.IncompleteReadError, ConnectionResetError):
                 self.closed = True
                 raise WebSocketDisconnect()
             if opcode == 0x1:      # text
-                return payload.decode("utf-8", errors="replace")
-            if opcode == 0x9:      # ping -> pong
+                if fin:
+                    return payload.decode("utf-8", errors="replace")
+                fragments = [payload]
+            elif opcode == 0x0 and fragments is not None:  # continuation
+                fragments.append(payload)
+                if sum(len(p) for p in fragments) > MAX_BODY_BYTES:
+                    raise WebSocketDisconnect()
+                if fin:
+                    return b"".join(fragments).decode("utf-8", errors="replace")
+            elif opcode == 0x9:    # ping -> pong
                 await self._send_frame(0xA, payload)
             elif opcode == 0x8:    # close
                 await self.close()
                 raise WebSocketDisconnect()
-            # ignore binary/continuation/pong for this API
+            # ignore binary/stray-continuation/pong for this API
 
     async def send_text(self, text: str) -> None:
         await self._send_frame(0x1, text.encode("utf-8"))

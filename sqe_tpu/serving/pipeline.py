@@ -160,17 +160,21 @@ class FusedFrontend:
         ids, mask = ids[:, :bucket], mask[:, :bucket]
         keys, valid, threshold = self.cache.device_arrays()
         if isinstance(idx, FlatIndex):
-            block = min(idx.block_n, idx._vectors.shape[0])
-            emb, hit, slot, scores, out_ids = retrieval_program_flat(
-                self.embedder.params, ids, mask,
-                keys, valid, threshold,
-                idx._vectors, jnp.int32(n),
-                cfg=self.embedder.cfg,
-                attn_impl=self.embedder.attn_impl,
-                k=min(k, n),
-                block_n=block,
-                exact=idx.exact,
-            )
+            # idx.add() donates the live vector buffer; hold the index lock
+            # across capture + dispatch so an insert can't delete it
+            # mid-dispatch (execution itself is stream-ordered).
+            with idx.lock:
+                block = min(idx.block_n, idx._vectors.shape[0])
+                emb, hit, slot, scores, out_ids = retrieval_program_flat(
+                    self.embedder.params, ids, mask,
+                    keys, valid, threshold,
+                    idx._vectors, jnp.int32(n),
+                    cfg=self.embedder.cfg,
+                    attn_impl=self.embedder.attn_impl,
+                    k=min(k, n),
+                    block_n=block,
+                    exact=idx.exact,
+                )
         else:
             ef = self.ef or idx.cfg.ef_search
             ef = max(k, min(ef, n))

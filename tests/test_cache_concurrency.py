@@ -61,3 +61,71 @@ def test_concurrent_get_put(cpu_device):
             hits += 1
     assert hits > 0
     assert cache.hits + cache.misses > 0
+
+
+def test_captured_device_arrays_survive_puts(cpu_device):
+    """Fused-pipeline contract: arrays handed out by device_arrays() must stay
+    dispatchable after concurrent put()s. put()'s _insert must therefore never
+    donate keys/valid (donation would delete the captured buffers on TPU —
+    'Array has been deleted' at the batcher's dispatch). CPU ignores donation,
+    so this test pins the contract (donate_argnums) directly plus exercises
+    the capture-then-dispatch ordering.
+    """
+    import jax.numpy as jnp
+
+    cache = DeviceLFUCache(
+        CacheConfig(capacity=8, embed_dim=16, sim_threshold=0.96),
+        device=cpu_device,
+    )
+    rng = np.random.default_rng(1)
+    k0 = rng.standard_normal(16).astype(np.float32)
+    k0 /= np.linalg.norm(k0)
+    cache.put(k0, "resp-0")
+
+    # Capture (the batcher does this without the lock)...
+    keys, valid, threshold = cache.device_arrays()
+    # ...then mutate from the writer path...
+    for i in range(8):
+        k = rng.standard_normal(16).astype(np.float32)
+        cache.put(k / np.linalg.norm(k), f"late-{i}")
+    # ...then dispatch against the captured (now stale) snapshot.
+    q = jnp.asarray(k0[None])
+    sims = q @ keys.T
+    assert np.asarray(sims).shape == (1, 8)  # no 'Array has been deleted'
+
+
+def test_insert_donation_set():
+    """_insert donates only freqs (arg 1); _probe_and_bump only freqs (arg 2)."""
+    from sqe_tpu.cache import semantic_cache
+
+    assert semantic_cache._insert._jit_info.donate_argnums == (1,)
+    assert semantic_cache._probe_and_bump._jit_info.donate_argnums == (2,)
+
+
+def test_flat_index_add_excluded_by_lock(cpu_device):
+    """FlatIndex.add (which donates the live buffer) must block while another
+    thread holds idx.lock for capture+dispatch."""
+    from sqe_tpu.index.flat import FlatIndex
+
+    idx = FlatIndex(embed_dim=16, block_n=8, device=cpu_device)
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((8, 16)).astype(np.float32)
+    idx.add(vecs, [{"doc_id": str(i), "text": ""} for i in range(8)])
+
+    entered = threading.Event()
+    finished = threading.Event()
+
+    def adder():
+        entered.set()
+        idx.add(vecs, [{"doc_id": f"b{i}", "text": ""} for i in range(8)])
+        finished.set()
+
+    with idx.lock:
+        t = threading.Thread(target=adder)
+        t.start()
+        entered.wait(5)
+        # While we hold the lock (capture+dispatch region), add can't complete.
+        assert not finished.wait(0.3)
+    t.join(5)
+    assert finished.is_set()
+    assert len(idx) == 16

@@ -96,3 +96,28 @@ def test_checkpoint_roundtrip(engine, tmp_path):
     r1 = engine.index.search(q, k=3)
     r2 = eng2.index.search(q, k=3)
     assert [m["doc_id"] for m, _ in r1] == [m["doc_id"] for m, _ in r2]
+
+
+def test_checkpoint_preserves_namespaces(engine, tmp_path):
+    """Documents ingested into per-user namespaces (the /upload_text path)
+    must survive a save/load cycle — the reference kept per-user indices
+    durable inside OpenSearch (embedding_gen.py:83-122)."""
+    path = str(tmp_path / "ckpt_ns")
+    engine.ingest_document("usernote_1", "private note about zeta receptor",
+                           namespace="u42")
+    engine.save_checkpoint(path)
+    eng2 = RAGEngine(engine.cfg, device=None, backend=EchoBackend())
+    assert eng2.load_checkpoint(path)
+    assert "u42" in eng2.indices
+    assert len(eng2.get_index("u42")) == len(engine.get_index("u42"))
+    answer = asyncio.run(
+        eng2.ask("zeta receptor", chat_id="c9", namespace="u42")
+    )
+    assert "usernote_1" in answer
+
+
+def test_ask_unknown_namespace_degrades(engine):
+    """Querying a namespace with no data returns an answer with no context,
+    not an exception (reference empty-index degrade, app/main.py:462-464)."""
+    answer = asyncio.run(engine.ask("anything", chat_id="c1", namespace="ghost"))
+    assert isinstance(answer, str) and answer

@@ -110,3 +110,25 @@ def test_ws_optional_chat_memory(engine):
 
     history = run_ws(engine, fn)
     assert "a ws question about gene6" in history
+
+
+def test_fragmented_text_message(engine):
+    """A client that fragments its text message (FIN=0 + continuation frames,
+    RFC 6455 §5.4) must get a normal response — previously continuation
+    frames were silently dropped."""
+    async def fn():
+        async with websockets.connect(f"ws://127.0.0.1:{PORT}/ws/ask") as ws:
+            payload = json.dumps({"query": "gene4", "top_k": 2})
+            third = len(payload) // 3
+            # websockets sends an iterable as one fragmented message.
+            await ws.send([payload[:third], payload[third:2 * third],
+                           payload[2 * third:]])
+            chunks = []
+            try:
+                while True:
+                    chunks.append(await asyncio.wait_for(ws.recv(), timeout=10))
+            except (websockets.ConnectionClosed, asyncio.TimeoutError):
+                pass
+            return "".join(chunks)
+
+    assert "Document PMC" in run_ws(engine, fn)
