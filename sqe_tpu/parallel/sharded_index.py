@@ -2,20 +2,35 @@
 
 This is the first-class "distribution" component the reference outsourced to a
 single-node OpenSearch (SURVEY.md §2, index-sharding row). Vectors (and, for
-HNSW, per-shard graphs + pivot samples) are laid out shard-major along axis 0
-and partitioned over the mesh's ``shard`` axis with NamedSharding. A query
-batch is replicated; each device searches its shard locally (the same
-single-device kernels — ``flat_topk`` / ``hnsw_search_batch`` — run inside
-``jax.shard_map``), local ids are rebased to global ids, and the per-shard
-top-k are merged with an ``all_gather`` over ICI followed by one ``lax.top_k``
+HNSW, per-shard graphs + pivot samples) are partitioned over the mesh's
+``shard`` axis with NamedSharding. A query batch is replicated; each device
+searches its shard locally (the same single-device kernels — ``flat_topk`` /
+``hnsw_search_batch`` — run inside ``jax.shard_map``), local slot ids map to
+global ids through a device-resident ``gid`` table, and the per-shard top-k
+are merged with an ``all_gather`` over ICI followed by one ``lax.top_k``
 (k entries per shard — merge traffic is tiny; SURVEY.md §7 risk note).
 
-Sharded search is bit-equivalent to single-device search over the union of the
-shards (gated in tests/test_sharded.py).
+Incremental ingestion (the /upload_text path, embedding_gen.py:196-257) is
+O(new rows), never a corpus rebuild:
+
+- ``ShardedFlatIndex.add`` scatters new rows into preallocated per-shard
+  capacity with ONE donated device program (new rows spread across shards to
+  balance load); the ``gid`` table keeps global ids correct under any
+  placement.
+- ``ShardedHNSWIndex.add`` routes a batch to the least-full shard, extends
+  that shard's graph host-side with the C++ ``hnsw_insert_batch``, and
+  uploads only the new vectors plus the graph rows the insert rewired
+  (host->device traffic is O(new + rewired), not O(corpus)); the global
+  sharded arrays are reassembled zero-copy from the per-shard device blocks
+  with ``jax.make_array_from_single_device_arrays``.
+
+Sharded search returns the same (score, id) sets as single-device search over
+the union of the shards (gated in tests/test_sharded.py).
 """
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -42,8 +57,51 @@ def _pad_to(x: np.ndarray, n: int, fill=0) -> np.ndarray:
     return np.concatenate([x, pad], axis=0)
 
 
+def _pow2_at_least(n: int, floor: int = 8) -> int:
+    c = floor
+    while c < n:
+        c *= 2
+    return c
+
+
+def _normalize(emb: np.ndarray) -> np.ndarray:
+    emb = np.asarray(emb, dtype=np.float32)
+    return emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
+
+
+class _HostRows:
+    """Append-only host mirror of the global vector set (checkpoint source).
+    Amortized-O(new) appends via capacity doubling."""
+
+    def __init__(self, dim: int):
+        self.dim = dim
+        self._buf = np.zeros((0, dim), np.float32)
+        self.n = 0
+
+    def append(self, rows: np.ndarray) -> None:
+        need = self.n + rows.shape[0]
+        if need > self._buf.shape[0]:
+            cap = max(64, self._buf.shape[0])
+            while cap < need:
+                cap *= 2
+            buf = np.zeros((cap, self.dim), np.float32)
+            buf[: self.n] = self._buf[: self.n]
+            self._buf = buf
+        self._buf[self.n : need] = rows
+        self.n = need
+
+    def view(self) -> np.ndarray:
+        return self._buf[: self.n]
+
+
 class ShardedFlatIndex:
-    """Exact cosine top-k sharded over a 1-D mesh axis."""
+    """Exact cosine top-k sharded over a 1-D mesh axis.
+
+    Layout: per-shard preallocated slot arrays ``vectors [ns*S, D]`` and a
+    global-id table ``gids [ns*S]`` (-1 = empty slot), both sharded on the
+    mesh axis. Slots fill contiguously per shard, so per-shard validity is a
+    single count and the blocked scan's contiguous-valid masking applies.
+    """
 
     def __init__(
         self,
@@ -60,10 +118,18 @@ class ShardedFlatIndex:
         self.approx_topk = approx_topk
         self.n_shards = mesh.shape[axis]
         self.metas: List[Dict[str, Any]] = []
-        self._vectors: Optional[jax.Array] = None  # [n_shards*S, D] sharded
-        self._shard_rows = 0                       # S: rows per shard (padded)
+        self._vectors: Optional[jax.Array] = None  # [ns*S, D] sharded
+        self._gids: Optional[jax.Array] = None     # [ns*S] int32 sharded
+        self._counts_dev: Optional[jax.Array] = None  # [ns] int32 sharded
+        self._counts = np.zeros(self.n_shards, np.int64)
+        self._cap = 0                              # S: slots per shard
         self._n = 0                                # real rows (global)
+        self._host = _HostRows(embed_dim)
         self._search_fn = None
+        self._insert_fn: Dict[int, Any] = {}
+        # add() donates the live buffers; guard capture+dispatch (same
+        # pattern as index/flat.py).
+        self.lock = threading.RLock()
 
     def __len__(self) -> int:
         return self._n
@@ -71,54 +137,150 @@ class ShardedFlatIndex:
     def has_any_data(self) -> bool:
         return self._n > 0
 
+    # ------------------------------------------------------------------ build
+
     def build(self, embeddings: np.ndarray, metas: Sequence[Dict[str, Any] | Chunk]):
-        emb = np.asarray(embeddings, dtype=np.float32)
-        emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
+        """Bulk build: contiguous shard-major placement (global row g lands in
+        shard g // S, slot g % S), capacity rounded up to a power of two for
+        insert headroom and block divisibility."""
+        emb = _normalize(embeddings)
         n = emb.shape[0]
         ns = self.n_shards
-        # Shard-major contiguous layout, padded so every shard holds S rows.
-        s = -(-n // ns)
-        s = max(8, s)
-        padded = _pad_to(emb, ns * s)
-        sharding = NamedSharding(self.mesh, P(self.axis, None))
-        self._vectors = jax.device_put(jnp.asarray(padded), sharding)
-        self._emb_host = emb
-        self._shard_rows = s
-        self._n = n
-        self.metas = [_to_meta(m) for m in metas]
-        self._search_fn = None
+        cap = _pow2_at_least(-(-n // ns))
+        padded = _pad_to(emb, ns * cap)
+        gids = np.full(ns * cap, -1, np.int32)
+        counts = np.zeros(ns, np.int64)
+        for i in range(ns):
+            lo = min(i * cap, n)
+            hi = min((i + 1) * cap, n)
+            counts[i] = hi - lo
+            gids[i * cap : i * cap + (hi - lo)] = np.arange(lo, hi, dtype=np.int32)
+        with self.lock:
+            vsh = NamedSharding(self.mesh, P(self.axis, None))
+            ssh = NamedSharding(self.mesh, P(self.axis))
+            self._vectors = jax.device_put(jnp.asarray(padded), vsh)
+            self._gids = jax.device_put(jnp.asarray(gids), ssh)
+            self._counts_dev = jax.device_put(
+                jnp.asarray(counts, dtype=jnp.int32), ssh
+            )
+            self._counts = counts
+            self._cap = cap
+            self._n = n
+            self._host = _HostRows(self.embed_dim)
+            self._host.append(emb)
+            self.metas = [_to_meta(m) for m in metas]
+            self._search_fn = None
+            self._insert_fn = {}
+
+    # -------------------------------------------------------------------- add
+
+    def _make_insert(self, b: int):
+        cap = self._cap
+        axis = self.axis
+
+        def local(vecs, gids, counts, upd, upd_gids, n_upd):
+            # local views: vecs [cap, D], gids [cap], counts [1], upd [b, D],
+            # upd_gids [b], n_upd [1]
+            cnt = counts[0]
+            k_new = n_upd[0]
+            rows = cnt + jax.lax.iota(jnp.int32, b)
+            # rows beyond this shard's quota scatter out of range -> dropped
+            rows = jnp.where(jax.lax.iota(jnp.int32, b) < k_new, rows, cap)
+            vecs = vecs.at[rows].set(upd, mode="drop")
+            gids = gids.at[rows].set(upd_gids, mode="drop")
+            return vecs, gids, counts + k_new
+
+        fn = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(axis, None), P(axis), P(axis),
+                      P(axis, None), P(axis), P(axis)),
+            out_specs=(P(axis, None), P(axis), P(axis)),
+            check_vma=False,
+        )
+        return jax.jit(fn, donate_argnums=(0, 1, 2))
 
     def add(self, embeddings: np.ndarray, metas: Sequence[Dict[str, Any] | Chunk]):
-        """Incremental insert: extend and re-shard (contiguous shard-major
-        layout means appends change shard boundaries; corpus-scale rebuilds
-        are one device_put)."""
-        emb = np.asarray(embeddings, dtype=np.float32)
+        """O(new rows) incremental insert: new rows are spread across shards
+        (fullest-last) and scattered into preallocated slots with one donated
+        device program. Falls back to a full rebuild only when a shard's
+        capacity would overflow (amortized by power-of-two growth)."""
+        emb = _normalize(embeddings)
         if emb.size == 0:
             return
-        old_metas = list(self.metas)
-        base = self._emb_host if self._n else np.zeros((0, emb.shape[1]), np.float32)
-        self.build(np.concatenate([base, emb]), old_metas + [_to_meta(m) for m in metas])
+        new_metas = [_to_meta(m) for m in metas]
+        if self._n == 0:
+            self.build(emb, new_metas)
+            return
+        b_total = emb.shape[0]
+        with self.lock:
+            free = self._cap - self._counts
+            if b_total > free.sum():
+                # Grow: rebuild at the next power-of-two capacity.
+                all_vecs = np.concatenate([self._host.view(), emb])
+                self.build(all_vecs, self.metas + new_metas)
+                return
+            # Water-fill: assign rows to shards in ascending-count order.
+            order = np.argsort(self._counts, kind="stable")
+            quota = np.zeros(self.n_shards, np.int64)
+            remaining = b_total
+            for i in order:
+                take = min(remaining, free[i])
+                quota[i] = take
+                remaining -= take
+                if remaining == 0:
+                    break
+            b_max = int(quota.max())
+            b_pad = _pow2_at_least(b_max, floor=1)
+
+            upd = np.zeros((self.n_shards, b_pad, self.embed_dim), np.float32)
+            upd_g = np.full((self.n_shards, b_pad), -1, np.int32)
+            gid0 = self._n
+            off = 0
+            for i in order:
+                q = int(quota[i])
+                if q == 0:
+                    continue
+                upd[i, :q] = emb[off : off + q]
+                upd_g[i, :q] = np.arange(gid0 + off, gid0 + off + q, dtype=np.int32)
+                off += q
+
+            vsh = NamedSharding(self.mesh, P(self.axis, None))
+            ssh = NamedSharding(self.mesh, P(self.axis))
+            fn = self._insert_fn.get(b_pad)
+            if fn is None:
+                fn = self._make_insert(b_pad)
+                self._insert_fn[b_pad] = fn
+            self._vectors, self._gids, self._counts_dev = fn(
+                self._vectors, self._gids, self._counts_dev,
+                jax.device_put(jnp.asarray(upd.reshape(-1, self.embed_dim)), vsh),
+                jax.device_put(jnp.asarray(upd_g.reshape(-1)), ssh),
+                jax.device_put(jnp.asarray(quota, dtype=jnp.int32), ssh),
+            )
+            self._counts = self._counts + quota
+            self._n += b_total
+            self._host.append(emb)
+            self.metas.extend(new_metas)
 
     def valid_vectors(self) -> Optional[np.ndarray]:
-        return self._emb_host if self._n else None
+        return self._host.view() if self._n else None
+
+    # ------------------------------------------------------------------ search
 
     def _make_search(self, k: int):
-        s = self._shard_rows
-        ns = self.n_shards
-        n_real = self._n
+        cap = self._cap
         axis = self.axis
-        block = min(self.block_n, s)
-        # Valid rows per shard: shard i owns global rows [i*s, min((i+1)*s, n)).
-        def local(q, vecs):
-            shard = jax.lax.axis_index(axis)
-            base = shard * s
-            valid_local = jnp.clip(n_real - base, 0, s)
+        block = min(self.block_n, cap)
+
+        def local(q, vecs, gids, counts):
+            valid_local = counts[0]
             scores, ids = flat_topk(q, vecs, valid_local, k=k, block_n=block,
                                     exact=False,
                                     approx_topk=self.approx_topk)
-            gids = jnp.where(ids >= 0, ids + base, -1)
+            g = jnp.where(ids >= 0, jnp.take(gids, jnp.maximum(ids, 0)), -1)
+            scores = jnp.where(g >= 0, scores, -jnp.inf)
             all_s = jax.lax.all_gather(scores, axis, axis=1, tiled=True)
-            all_i = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+            all_i = jax.lax.all_gather(g, axis, axis=1, tiled=True)
             ms, sel = jax.lax.top_k(all_s, k)
             mi = jnp.take_along_axis(all_i, sel, axis=1)
             return ms, mi
@@ -126,7 +288,7 @@ class ShardedFlatIndex:
         fn = jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(P(), P(self.axis, None)),
+            in_specs=(P(), P(self.axis, None), P(self.axis), P(self.axis)),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -136,12 +298,15 @@ class ShardedFlatIndex:
         if self._n == 0:
             b = np.asarray(query_emb).shape[0]
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
-        k_eff = min(k, self._shard_rows)
-        if self._search_fn is None or self._search_fn[0] != k_eff:
-            self._search_fn = (k_eff, self._make_search(k_eff))
         q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
-        q = jax.device_put(q, NamedSharding(self.mesh, P()))
-        scores, ids = self._search_fn[1](q, self._vectors)
+        with self.lock:
+            k_eff = min(k, self._cap)
+            if self._search_fn is None or self._search_fn[0] != (k_eff, self._cap):
+                self._search_fn = ((k_eff, self._cap), self._make_search(k_eff))
+            q = jax.device_put(q, NamedSharding(self.mesh, P()))
+            scores, ids = self._search_fn[1](
+                q, self._vectors, self._gids, self._counts_dev
+            )
         return np.asarray(scores)[:, :k], np.asarray(ids)[:, :k]
 
     def search(self, query_emb: np.ndarray, k: int = 3):
@@ -158,11 +323,16 @@ class ShardedFlatIndex:
 class ShardedHNSWIndex:
     """Per-shard HNSW graphs searched in parallel, merged with all_gather.
 
-    Each shard owns a contiguous slice of the corpus with its own C++-built
-    graph and pivot sample; a query beam-searches every shard concurrently and
-    the per-shard top-k are merged on device. Per-shard ef keeps work per chip
+    Each shard owns its own C++-built graph and pivot sample over the rows
+    placed in it; a query beam-searches every shard concurrently and the
+    per-shard top-k are merged on device. Per-shard ef keeps work per chip
     constant as shards are added — corpus scale-out is the scaling axis
     (SURVEY.md §5 long-context row).
+
+    Storage is per-shard device blocks committed to each mesh device and
+    assembled zero-copy into global sharded arrays
+    (``jax.make_array_from_single_device_arrays``), so an incremental insert
+    touches only the affected shard's blocks.
     """
 
     # Per-shard byte budget for the neighbor-materialized fused layout.
@@ -188,47 +358,31 @@ class ShardedHNSWIndex:
         self.fused_dtype = fused_dtype or vector_dtype
         self.layout = layout
         self.n_shards = mesh.shape[axis]
+        # Shard i lives on this device (1-D mesh order).
+        self._devices = list(mesh.devices.flatten())
         self.metas: List[Dict[str, Any]] = []
-        self._vectors: Optional[jax.Array] = None   # [ns*S, D] sharded
-        self._graph: Optional[jax.Array] = None     # [ns*S, M0] sharded (local ids)
-        self._pivots: Optional[jax.Array] = None    # [ns*P] sharded (local ids)
-        self._nbr_vecs: Optional[jax.Array] = None  # [ns*S, M0, D] fused layout
+        # Host-side per-shard state (source of truth for graph construction).
+        self._h_vecs: List[np.ndarray] = []    # [cap, D] f32, normalized
+        self._h_graph: List[np.ndarray] = []   # [cap, M0] int32
+        self._h_levels: List[np.ndarray] = []  # [cap] int32
+        self._h_gids: List[np.ndarray] = []    # [cap] int32 (-1 empty)
+        self._counts = np.zeros(self.n_shards, np.int64)
+        # Device-side per-shard blocks + assembled sharded arrays.
+        self._d_vecs: List[jax.Array] = []
+        self._d_graph: List[jax.Array] = []
+        self._d_gids: List[jax.Array] = []
+        self._d_pivots: List[jax.Array] = []
+        self._vectors: Optional[jax.Array] = None
+        self._graph: Optional[jax.Array] = None
+        self._gids_arr: Optional[jax.Array] = None
+        self._pivots: Optional[jax.Array] = None
+        self._nbr_vecs: Optional[jax.Array] = None
         self._nbr_scales: Optional[jax.Array] = None
-        self._shard_rows = 0
+        self._cap = 0
         self._n = 0
+        self._host = _HostRows(embed_dim)
         self._search_fn = None
-        self._emb_host: Optional[np.ndarray] = None
-
-    def add(self, embeddings: np.ndarray, metas, force_numpy_builder: bool = False):
-        """Incremental insert by re-sharding + per-shard rebuild (shard-major
-        contiguous layout; ingestion batches amortize the rebuild)."""
-        emb = np.asarray(embeddings, dtype=np.float32)
-        if emb.size == 0:
-            return
-        old_metas = list(self.metas)
-        base = self._emb_host if self._n else np.zeros((0, emb.shape[1]), np.float32)
-        self.build(
-            np.concatenate([base, emb]),
-            old_metas + [_to_meta(m) for m in metas],
-            force_numpy_builder=force_numpy_builder,
-        )
-
-    def valid_vectors(self) -> Optional[np.ndarray]:
-        return self._emb_host if self._n else None
-
-    def _use_fused(self) -> bool:
-        if self.layout == "plain":
-            return False
-        platform = next(iter(self.mesh.devices.flatten())).platform
-        if platform != "tpu":
-            return False
-        if self.layout == "fused":
-            return True
-        per_shard = (
-            self._shard_rows * self.cfg.M0 * self.embed_dim
-            * jnp.dtype(self.fused_dtype).itemsize
-        )
-        return per_shard <= self.FUSED_LAYOUT_MAX_BYTES
+        self.lock = threading.RLock()
 
     def __len__(self) -> int:
         return self._n
@@ -236,113 +390,232 @@ class ShardedHNSWIndex:
     def has_any_data(self) -> bool:
         return self._n > 0
 
+    def valid_vectors(self) -> Optional[np.ndarray]:
+        return self._host.view() if self._n else None
+
+    def _use_fused(self) -> bool:
+        if self.layout == "plain":
+            return False
+        platform = self._devices[0].platform
+        if platform != "tpu":
+            return False
+        if self.layout == "fused":
+            return True
+        per_shard = (
+            self._cap * self.cfg.M0 * self.embed_dim
+            * jnp.dtype(self.fused_dtype).itemsize
+        )
+        return per_shard <= self.FUSED_LAYOUT_MAX_BYTES
+
+    # ----------------------------------------------------------- device assembly
+
+    def _assemble(self, blocks: List[jax.Array], spec: P) -> jax.Array:
+        shape = (self.n_shards * blocks[0].shape[0],) + blocks[0].shape[1:]
+        sharding = NamedSharding(self.mesh, spec)
+        return jax.make_array_from_single_device_arrays(shape, sharding, blocks)
+
+    def _put_shard(self, arr: np.ndarray, i: int, dtype=None) -> jax.Array:
+        x = jnp.asarray(arr, dtype=dtype) if dtype is not None else jnp.asarray(arr)
+        return jax.device_put(x, self._devices[i])
+
+    def _reassemble_all(self) -> None:
+        self._vectors = self._assemble(self._d_vecs, P(self.axis, None))
+        self._graph = self._assemble(self._d_graph, P(self.axis, None))
+        self._gids_arr = self._assemble(self._d_gids, P(self.axis))
+        self._pivots = self._assemble(self._d_pivots, P(self.axis))
+        self._refresh_fused()
+
+    def _refresh_fused(self) -> None:
+        self._nbr_vecs = None
+        self._nbr_scales = None
+        if not self._use_fused():
+            return
+        # Per-shard neighbor-materialized layout: the gather uses LOCAL
+        # graph ids, so it must run shard-locally under shard_map. This is a
+        # device-side recompute (no host traffic); O(N*M0*D) gather at HBM
+        # speed, amortized over the adds between refreshes.
+        int8 = jnp.dtype(self.fused_dtype) == jnp.int8
+
+        def local_build(v, g):
+            safe = jnp.maximum(g, 0)
+            if int8:
+                from sqe_tpu.ops.quantize import quantize_rows
+
+                qv, scales = quantize_rows(v.astype(jnp.float32))
+                return jnp.take(qv, safe, axis=0), jnp.take(scales, safe, axis=0)
+            taken = jnp.take(v, safe, axis=0).astype(self.fused_dtype)
+            return taken, jnp.zeros((g.shape[0], g.shape[1]), jnp.float32)
+
+        build = jax.jit(
+            jax.shard_map(
+                local_build,
+                mesh=self.mesh,
+                in_specs=(P(self.axis, None), P(self.axis, None)),
+                out_specs=(P(self.axis, None, None), P(self.axis, None)),
+                check_vma=False,
+            )
+        )
+        nbr_vecs, nbr_scales = build(self._vectors, self._graph)
+        self._nbr_vecs = nbr_vecs
+        self._nbr_scales = nbr_scales if int8 else None
+
+    # ------------------------------------------------------------------- build
+
     def build(
         self,
         embeddings: np.ndarray,
         metas: Sequence[Dict[str, Any] | Chunk],
         force_numpy_builder: bool = False,
     ):
-        emb = np.asarray(embeddings, dtype=np.float32)
-        emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
+        emb = _normalize(embeddings)
         n = emb.shape[0]
         ns = self.n_shards
-        s = max(8, -(-n // ns))
+        cap = _pow2_at_least(-(-n // ns))
         m0 = self.cfg.M0
-        p = min(self.n_pivots, s)
+        p = min(self.n_pivots, cap)
         rng = np.random.default_rng(self.cfg.seed)
 
-        vec_blocks, graph_blocks, pivot_blocks = [], [], []
-        for i in range(ns):
-            lo, hi = i * s, min((i + 1) * s, n)
-            local = emb[lo:hi]
-            if local.shape[0] == 0:
-                # Empty shard: single zero row pointing nowhere.
-                vec_blocks.append(np.zeros((s, emb.shape[1]), np.float32))
-                graph_blocks.append(np.full((s, m0), -1, np.int32))
-                pivot_blocks.append(np.zeros((p,), np.int32))
-                continue
-            graph, _levels = hnsw_build.build_graph(
-                local, M=self.cfg.M, ef_construction=self.cfg.ef_construction,
-                seed=self.cfg.seed + i, force_numpy=force_numpy_builder,
+        with self.lock:
+            self._force_numpy = force_numpy_builder
+            self._h_vecs, self._h_graph, self._h_levels, self._h_gids = [], [], [], []
+            self._d_vecs, self._d_graph, self._d_gids, self._d_pivots = [], [], [], []
+            counts = np.zeros(ns, np.int64)
+            for i in range(ns):
+                lo, hi = min(i * cap, n), min((i + 1) * cap, n)
+                local = emb[lo:hi]
+                c = local.shape[0]
+                counts[i] = c
+                h_vec = np.zeros((cap, emb.shape[1]), np.float32)
+                h_graph = np.full((cap, m0), -1, np.int32)
+                h_levels = np.zeros((cap,), np.int32)
+                h_gid = np.full((cap,), -1, np.int32)
+                piv = np.zeros((p,), np.int32)
+                if c:
+                    graph, levels = hnsw_build.build_graph(
+                        local, M=self.cfg.M,
+                        ef_construction=self.cfg.ef_construction,
+                        seed=self.cfg.seed + i, force_numpy=force_numpy_builder,
+                    )
+                    h_vec[:c] = local
+                    h_graph[:c] = graph
+                    h_levels[:c] = levels
+                    h_gid[:c] = np.arange(lo, hi, dtype=np.int32)
+                    piv[: min(p, c)] = rng.choice(
+                        c, size=min(p, c), replace=False
+                    ).astype(np.int32)
+                self._h_vecs.append(h_vec)
+                self._h_graph.append(h_graph)
+                self._h_levels.append(h_levels)
+                self._h_gids.append(h_gid)
+                self._d_vecs.append(self._put_shard(h_vec, i, self.vector_dtype))
+                self._d_graph.append(self._put_shard(h_graph, i))
+                self._d_gids.append(self._put_shard(h_gid, i))
+                self._d_pivots.append(self._put_shard(piv, i))
+            self._counts = counts
+            self._cap = cap
+            self._n = n
+            self._host = _HostRows(self.embed_dim)
+            self._host.append(emb)
+            self.metas = [_to_meta(m) for m in metas]
+            self._search_fn = None
+            self._reassemble_all()
+
+    # --------------------------------------------------------------------- add
+
+    def add(self, embeddings: np.ndarray, metas, force_numpy_builder: bool = False):
+        """Incremental insert: the whole batch goes to the least-full shard;
+        the C++ ``hnsw_insert_batch`` extends that shard's graph in place and
+        only the new vectors + rewired graph rows travel host->device. Falls
+        back to a full rebuild when the shard would overflow (amortized by
+        power-of-two capacity growth) or when no graph exists yet."""
+        emb = _normalize(embeddings)
+        if emb.size == 0:
+            return
+        new_metas = [_to_meta(m) for m in metas]
+        if self._n == 0:
+            self.build(emb, new_metas, force_numpy_builder=force_numpy_builder)
+            return
+        b = emb.shape[0]
+        with self.lock:
+            j = int(np.argmin(self._counts))
+            old = int(self._counts[j])
+            if old + b > self._cap:
+                all_vecs = np.concatenate([self._host.view(), emb])
+                self.build(all_vecs, self.metas + new_metas,
+                           force_numpy_builder=force_numpy_builder)
+                return
+            # Host-side graph extension for shard j.
+            self._h_vecs[j][old : old + b] = emb
+            graph_new, levels_new = hnsw_build.insert_batch(
+                self._h_vecs[j][: old + b],
+                self._h_graph[j][:old],
+                self._h_levels[j][:old],
+                old,
+                M=self.cfg.M,
+                ef_construction=self.cfg.ef_construction,
+                seed=self.cfg.seed + j,
             )
-            n_local = local.shape[0]
-            piv = rng.choice(n_local, size=min(p, n_local), replace=False).astype(np.int32)
-            piv = _pad_to(piv, p, fill=0)
-            vec_blocks.append(_pad_to(local, s))
-            graph_blocks.append(_pad_to(graph, s, fill=-1))
-            pivot_blocks.append(piv)
-
-        vsh = NamedSharding(self.mesh, P(self.axis, None))
-        psh = NamedSharding(self.mesh, P(self.axis))
-        self._vectors = jax.device_put(
-            jnp.asarray(np.concatenate(vec_blocks), dtype=self.vector_dtype), vsh
-        )
-        self._graph = jax.device_put(jnp.asarray(np.concatenate(graph_blocks)), vsh)
-        self._pivots = jax.device_put(jnp.asarray(np.concatenate(pivot_blocks)), psh)
-        self._emb_host = emb
-        self._shard_rows = s
-        self._n = n
-        self.metas = [_to_meta(m) for m in metas]
-        self._search_fn = None
-        self._nbr_vecs = None
-        self._nbr_scales = None
-        if self._use_fused():
-            # Per-shard neighbor-materialized layout: the gather uses LOCAL
-            # graph ids, so it must run shard-locally under shard_map.
-            int8 = jnp.dtype(self.fused_dtype) == jnp.int8
-
-            def local_build(v, g):
-                safe = jnp.maximum(g, 0)
-                if int8:
-                    from sqe_tpu.ops.quantize import quantize_rows
-
-                    qv, scales = quantize_rows(v.astype(jnp.float32))
-                    return jnp.take(qv, safe, axis=0), jnp.take(scales, safe, axis=0)
-                taken = jnp.take(v, safe, axis=0).astype(self.fused_dtype)
-                return taken, jnp.zeros((g.shape[0], g.shape[1]), jnp.float32)
-
-            build = jax.jit(
-                jax.shard_map(
-                    local_build,
-                    mesh=self.mesh,
-                    in_specs=(P(self.axis, None), P(self.axis, None)),
-                    out_specs=(P(self.axis, None, None), P(self.axis, None)),
-                    check_vma=False,
-                )
+            changed = np.nonzero(
+                (graph_new[:old] != self._h_graph[j][:old]).any(axis=1)
+            )[0].astype(np.int32)
+            rows = np.concatenate(
+                [changed, np.arange(old, old + b, dtype=np.int32)]
             )
-            nbr_vecs, nbr_scales = build(self._vectors, self._graph)
-            self._nbr_vecs = nbr_vecs
-            self._nbr_scales = nbr_scales if int8 else None
+            self._h_graph[j][: old + b] = graph_new
+            self._h_levels[j][: old + b] = levels_new
+            gid0 = self._n
+            self._h_gids[j][old : old + b] = np.arange(
+                gid0, gid0 + b, dtype=np.int32
+            )
+            # Device update for shard j only: scatter new vector rows, the
+            # rewired graph rows, and the new gid entries. Blocks are NOT
+            # donated (the assembled global array shares their buffers); the
+            # scatter allocates a fresh per-shard block on that one device.
+            dev_rows = self._put_shard(rows, j)
+            self._d_vecs[j] = (
+                self._d_vecs[j]
+                .at[self._put_shard(np.arange(old, old + b, dtype=np.int32), j)]
+                .set(self._put_shard(emb, j, self.vector_dtype))
+            )
+            self._d_graph[j] = self._d_graph[j].at[dev_rows].set(
+                self._put_shard(graph_new[rows], j)
+            )
+            self._d_gids[j] = (
+                self._d_gids[j]
+                .at[self._put_shard(np.arange(old, old + b, dtype=np.int32), j)]
+                .set(self._put_shard(self._h_gids[j][old : old + b], j))
+            )
+            self._counts[j] = old + b
+            self._n += b
+            self._host.append(emb)
+            self.metas.extend(new_metas)
+            self._reassemble_all()
+
+    # ------------------------------------------------------------------ search
 
     def _make_search(self, k: int, ef: int, n_seeds: int, max_iters: int,
                      expand: int = 4):
-        s = self._shard_rows
-        n_real = self._n
         axis = self.axis
         fused = self._nbr_vecs is not None
-
         quantized = self._nbr_scales is not None
 
-        def local(q, vecs, graph, pivots, nbr_vecs=None, nbr_scales=None):
-            shard = jax.lax.axis_index(axis)
-            base = shard * s
+        def local(q, vecs, graph, pivots, gids, nbr_vecs=None, nbr_scales=None):
             scores, ids = hnsw_search_batch(
                 q, vecs, graph, pivots, nbr_vecs, nbr_scales,
                 k=k, ef=ef, max_iters=max_iters, n_seeds=n_seeds,
                 expand=expand, fused_gather=fused,
             )
-            # Mask pad rows (global id >= n_real) and rebase to global ids.
-            gids = jnp.where(ids >= 0, ids + base, -1)
-            ok = (gids >= 0) & (gids < n_real)
-            scores = jnp.where(ok, scores, -jnp.inf)
-            gids = jnp.where(ok, gids, -1)
+            # Map local slot ids to global ids; empty slots (gid -1) mask out.
+            g = jnp.where(ids >= 0, jnp.take(gids, jnp.maximum(ids, 0)), -1)
+            scores = jnp.where(g >= 0, scores, -jnp.inf)
             all_s = jax.lax.all_gather(scores, axis, axis=1, tiled=True)
-            all_i = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+            all_i = jax.lax.all_gather(g, axis, axis=1, tiled=True)
             ms, sel = jax.lax.top_k(all_s, k)
             mi = jnp.take_along_axis(all_i, sel, axis=1)
             return ms, mi
 
-        in_specs = [P(), P(self.axis, None), P(self.axis, None), P(self.axis)]
+        in_specs = [P(), P(self.axis, None), P(self.axis, None), P(self.axis),
+                    P(self.axis)]
         if fused:
             in_specs.append(P(self.axis, None, None))
             if quantized:
@@ -362,23 +635,25 @@ class ShardedHNSWIndex:
         if self._n == 0:
             b = np.asarray(query_emb).shape[0]
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
-        ef = ef or self.cfg.ef_search
-        k_eff = min(k, self._shard_rows)
-        ef = max(k_eff, min(ef, self._shard_rows))
-        n_seeds = min(32, ef)
-        expand = max(1, min(8, ef))
-        max_iters = ef // expand + 32
-        key = (k_eff, ef, n_seeds, max_iters, expand)
-        if self._search_fn is None or self._search_fn[0] != key:
-            self._search_fn = (key, self._make_search(*key))
         q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
-        q = jax.device_put(q, NamedSharding(self.mesh, P()))
-        args = (q, self._vectors, self._graph, self._pivots)
-        if self._nbr_vecs is not None:
-            args = args + (self._nbr_vecs,)
-            if self._nbr_scales is not None:
-                args = args + (self._nbr_scales,)
-        scores, ids = self._search_fn[1](*args)
+        with self.lock:
+            ef = ef or self.cfg.ef_search
+            k_eff = min(k, self._cap)
+            ef = max(k_eff, min(ef, self._cap))
+            n_seeds = min(32, ef)
+            expand = max(1, min(8, ef))
+            max_iters = ef // expand + 32
+            key = (k_eff, ef, n_seeds, max_iters, expand, self._cap,
+                   self._nbr_vecs is not None)
+            if self._search_fn is None or self._search_fn[0] != key:
+                self._search_fn = (key, self._make_search(*key[:5]))
+            q = jax.device_put(q, NamedSharding(self.mesh, P()))
+            args = (q, self._vectors, self._graph, self._pivots, self._gids_arr)
+            if self._nbr_vecs is not None:
+                args = args + (self._nbr_vecs,)
+                if self._nbr_scales is not None:
+                    args = args + (self._nbr_scales,)
+            scores, ids = self._search_fn[1](*args)
         return np.asarray(scores)[:, :k], np.asarray(ids)[:, :k]
 
     def search(self, query_emb: np.ndarray, k: int = 3):

@@ -75,3 +75,62 @@ def test_sharded_search_contract(data, cpu_mesh):
     res = sharded.search(vecs[:1], k=3)
     assert res[0][0]["doc_id"] == "d0"
     assert res[0][1] > 0.999
+
+
+def test_sharded_flat_incremental_add_parity(data, cpu_mesh, cpu_device):
+    """add() after build must return the same (score, id) sets as one bulk
+    build — and ids must be stable global insertion ids."""
+    vecs, queries, metas = data
+    n0 = 3000
+    bulk = ShardedFlatIndex(cpu_mesh, embed_dim=64, block_n=512)
+    bulk.build(vecs, metas)
+    ref_s, ref_i = bulk.search_ids(queries, 10)
+
+    inc = ShardedFlatIndex(cpu_mesh, embed_dim=64, block_n=512)
+    inc.build(vecs[:n0], metas[:n0])
+    # several small adds (the /upload_text shape)
+    for lo in range(n0, len(vecs), 257):
+        hi = min(lo + 257, len(vecs))
+        inc.add(vecs[lo:hi], metas[lo:hi])
+    assert len(inc) == len(vecs)
+    s, i = inc.search_ids(queries, 10)
+    np.testing.assert_array_equal(np.sort(i, 1), np.sort(ref_i, 1))
+    np.testing.assert_allclose(np.sort(s, 1), np.sort(ref_s, 1), atol=1e-5)
+    # metas resolve through global ids
+    res = inc.search(vecs[n0 + 5 : n0 + 6], k=1)
+    assert res[0][0]["doc_id"] == f"d{n0 + 5}"
+
+
+def test_sharded_flat_add_triggers_growth(data, cpu_mesh):
+    """Inserting past per-shard capacity rebuilds at doubled capacity and
+    keeps every id retrievable."""
+    vecs, queries, metas = data
+    idx = ShardedFlatIndex(cpu_mesh, embed_dim=64, block_n=128)
+    idx.build(vecs[:64], metas[:64])        # cap = 8/shard
+    idx.add(vecs[64:1024], metas[64:1024])  # forces growth
+    assert len(idx) == 1024
+    res = idx.search(vecs[500:501], k=1)
+    assert res[0][0]["doc_id"] == "d500"
+
+
+def test_sharded_hnsw_incremental_add_recall(data, cpu_mesh, cpu_device):
+    """Incremental per-shard insert_batch path: recall vs the exact scan must
+    hold after a build + several adds, and new ids must be retrievable."""
+    vecs, queries, metas = data
+    n0 = 3072
+    flat = FlatIndex(embed_dim=64, block_n=1024, device=cpu_device)
+    flat.add(vecs, metas)
+    _, ref_i = flat.search_ids(queries, 10)
+
+    idx = ShardedHNSWIndex(
+        cpu_mesh, HNSWConfig(M=8, ef_construction=100, ef_search=64), embed_dim=64
+    )
+    idx.build(vecs[:n0], metas[:n0])
+    for lo in range(n0, len(vecs), 300):
+        hi = min(lo + 300, len(vecs))
+        idx.add(vecs[lo:hi], metas[lo:hi])
+    assert len(idx) == len(vecs)
+    _, i = idx.search_ids(queries, 10)
+    assert _recall(i, ref_i) >= 0.95
+    res = idx.search(vecs[n0 + 7 : n0 + 8], k=1)
+    assert res[0][0]["doc_id"] == f"d{n0 + 7}"
