@@ -3,6 +3,8 @@
 Commands:
   serve         build/load the index and run the HTTP+WS server (default)
   build-index   chunk+embed+index a corpus, write a checkpoint, exit
+  fit           corpus-adapt the embedder (learned vocab + contrastive spans),
+                save the model into the checkpoint, report retrieval quality
   bench         run the headline retrieval benchmark
 
 All commands accept ``--dotted.key=value`` config overrides
@@ -10,6 +12,13 @@ All commands accept ``--dotted.key=value`` config overrides
 
   python -m sqe_tpu serve --corpus_dir=PMC --index_kind=hnsw --serve.port=8000
   python -m sqe_tpu build-index --corpus_dir=PMC --checkpoint_dir=ckpt
+  python -m sqe_tpu fit --corpus_dir=PMC --checkpoint_dir=ckpt --steps=2000
+
+``fit``-only flags: --steps=N --lr=F --fit_batch=N --pair_max_len=N
+--eval_queries=N --hash_vocab=true (skip the learned vocabulary).
+A later ``serve``/``build-index`` with the same --checkpoint_dir picks up the
+trained model automatically and re-embeds the corpus if the stored index was
+built by a different model.
 """
 
 from __future__ import annotations
@@ -41,6 +50,8 @@ def main(argv=None) -> None:
         if cfg.checkpoint_dir:
             engine.save_checkpoint()
         print(f"indexed {n} chunks")
+    elif command == "fit":
+        _fit(argv)
     elif command == "bench":
         import runpy
 
@@ -48,6 +59,81 @@ def main(argv=None) -> None:
     else:
         print(__doc__)
         sys.exit(2)
+
+
+def _fit(argv: list) -> None:
+    """Corpus-adapt the embedder and persist it as the serving model."""
+    import dataclasses
+    import json
+
+    import jax
+
+    from sqe_tpu.config import EngineConfig, cli_overrides
+    from sqe_tpu.data.corpus import load_corpus
+    from sqe_tpu.data.tokenizer import VocabTokenizer, tokenizer_to_dict
+    from sqe_tpu.models import Embedder
+    from sqe_tpu.train.eval import retrieval_eval
+    from sqe_tpu.train.fit import fit_embedder
+    from sqe_tpu.utils import checkpoint as ckpt
+
+    # fit-only flags (stripped before the shared config parser).
+    fit_flags = {"steps": 2000, "lr": 3e-4, "fit_batch": 64,
+                 "pair_max_len": 128, "eval_queries": 256, "hash_vocab": False}
+    remaining = []
+    for arg in argv:
+        key, _, raw = arg.lstrip("-").partition("=")
+        if key in fit_flags and arg.startswith("--"):
+            cur = fit_flags[key]
+            fit_flags[key] = (raw.lower() == "true") if isinstance(cur, bool) \
+                else type(cur)(raw)
+        else:
+            remaining.append(arg)
+    cfg = cli_overrides(EngineConfig.from_env(), remaining)
+    assert cfg.checkpoint_dir, "fit requires --checkpoint_dir=..."
+
+    chunks = load_corpus(cfg.corpus_dir, cfg.chunk_size)
+    assert chunks, f"no corpus text under {cfg.corpus_dir}"
+    print(f"corpus: {len(chunks)} chunks from {cfg.corpus_dir}")
+
+    tokenizer = None
+    if not fit_flags["hash_vocab"]:
+        tokenizer = VocabTokenizer.train(
+            [c.text for c in chunks], cfg.model.vocab_size, cfg.model.max_len
+        )
+        print(f"learned vocabulary: {len(tokenizer.vocab)} words "
+              f"(+{tokenizer.hash_tail} hashed-tail buckets)")
+
+    attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    params, losses = fit_embedder(
+        chunks, cfg.model, steps=fit_flags["steps"],
+        batch_size=fit_flags["fit_batch"],
+        pair_max_len=fit_flags["pair_max_len"], lr=fit_flags["lr"],
+        attn_impl=attn_impl, tokenizer=tokenizer,
+    )
+    print(f"fit: {len(losses)} steps, loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+
+    ckpt.save_model(
+        cfg.checkpoint_dir, params, dataclasses.asdict(cfg.model),
+        tokenizer_state=tokenizer_to_dict(tokenizer) if tokenizer else None,
+    )
+    print(f"model saved to {cfg.checkpoint_dir}")
+
+    if fit_flags["eval_queries"]:
+        trained = Embedder(cfg.model, params=params, attn_impl=attn_impl,
+                           tokenizer=tokenizer)
+        random_init = Embedder(cfg.model, attn_impl=attn_impl)
+        n_eval_chunks = min(len(chunks), 4096)
+        m_trained = retrieval_eval(trained, chunks[:n_eval_chunks],
+                                   n_queries=fit_flags["eval_queries"])
+        m_random = retrieval_eval(random_init, chunks[:n_eval_chunks],
+                                  n_queries=fit_flags["eval_queries"])
+        report = {"trained": m_trained, "random_init": m_random}
+        print("retrieval eval:", json.dumps(report))
+        import os
+
+        with open(os.path.join(cfg.checkpoint_dir, "fit_eval.json"), "w") as f:
+            json.dump({"losses_head": losses[:3], "losses_tail": losses[-3:],
+                       **report}, f, indent=2)
 
 
 if __name__ == "__main__":

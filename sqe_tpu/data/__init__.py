@@ -5,4 +5,4 @@ from sqe_tpu.data.corpus import (  # noqa: F401
     load_corpus,
     read_text_file,
 )
-from sqe_tpu.data.tokenizer import HashingTokenizer  # noqa: F401
+from sqe_tpu.data.tokenizer import HashingTokenizer, VocabTokenizer  # noqa: F401

@@ -164,3 +164,104 @@ class HashingTokenizer:
             ids[i, : len(toks)] = toks
             mask[i, : len(toks)] = 1.0
         return ids, mask
+
+
+class VocabTokenizer:
+    """Learned-vocabulary tokenizer: frequent corpus words get dedicated ids.
+
+    The pure hashing tokenizer gives every word a usable id but collides
+    frequent words into shared buckets, capping what corpus-fit training can
+    learn (DESIGN.md §10). Here the top ``vocab_size - N_SPECIAL - hash_tail``
+    corpus words (by frequency) own a private embedding row; everything else
+    hashes into the reserved tail, so unseen words still tokenize
+    deterministically (zero-egress: no downloaded vocabulary, reference used
+    llama.cpp's in-server tokenizer via Ollama, app/main.py:134-145).
+
+    Same ``encode_batch`` contract as HashingTokenizer: ``[B, L]`` int32 ids
+    (CLS prepended) + float32 mask.
+    """
+
+    def __init__(self, vocab: Dict[str, int], vocab_size: int = 32768,
+                 max_len: int = 512, hash_tail: int = 4096):
+        assert vocab_size > N_SPECIAL + hash_tail
+        self.vocab = vocab
+        self.vocab_size = vocab_size
+        self.max_len = max_len
+        self.hash_tail = hash_tail
+        self._tail_base = vocab_size - hash_tail
+
+    @classmethod
+    def train(cls, texts: Sequence[str], vocab_size: int = 32768,
+              max_len: int = 512, hash_tail: int = 4096) -> "VocabTokenizer":
+        """Build the vocabulary from corpus word frequencies. The hashed OOV
+        tail shrinks automatically for small vocab sizes (1/8 of the space)."""
+        from collections import Counter
+
+        hash_tail = max(1, min(hash_tail, vocab_size // 8))
+        counts: Counter = Counter()
+        for t in texts:
+            counts.update(_WORD_RE.findall(t.lower()))
+        n_words = vocab_size - N_SPECIAL - hash_tail
+        vocab = {
+            w: N_SPECIAL + i
+            for i, (w, _c) in enumerate(counts.most_common(n_words))
+        }
+        return cls(vocab, vocab_size=vocab_size, max_len=max_len,
+                   hash_tail=hash_tail)
+
+    def _word_id(self, word: str) -> int:
+        tid = self.vocab.get(word)
+        if tid is not None:
+            return tid
+        return self._tail_base + fnv1a_64(word.encode("utf-8")) % self.hash_tail
+
+    def tokenize(self, text: str) -> List[int]:
+        words = _WORD_RE.findall(text.lower())
+        if not words:
+            return [UNK_ID]
+        return [self._word_id(w) for w in words]
+
+    def encode(self, text: str) -> Tuple[np.ndarray, np.ndarray]:
+        ids, mask = self.encode_batch([text])
+        return ids[0], mask[0]
+
+    def encode_batch(
+        self, texts: Sequence[str], max_len: int | None = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        L = self.max_len if max_len is None else max_len
+        B = len(texts)
+        ids = np.zeros((B, L), dtype=np.int32)
+        mask = np.zeros((B, L), dtype=np.float32)
+        for i, text in enumerate(texts):
+            toks = [CLS_ID] + self.tokenize(text)
+            toks = toks[:L]
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1.0
+        return ids, mask
+
+    # ------------------------------------------------------------ persistence
+
+    def to_dict(self) -> dict:
+        return {
+            "kind": "vocab",
+            "vocab_size": self.vocab_size,
+            "max_len": self.max_len,
+            "hash_tail": self.hash_tail,
+            "vocab": self.vocab,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "VocabTokenizer":
+        return cls(dict(d["vocab"]), vocab_size=int(d["vocab_size"]),
+                   max_len=int(d["max_len"]), hash_tail=int(d["hash_tail"]))
+
+
+def tokenizer_from_dict(d: Optional[dict], vocab_size: int, max_len: int):
+    """Restore a tokenizer from checkpoint state (None -> hashing default)."""
+    if d is None or d.get("kind") != "vocab":
+        return HashingTokenizer(vocab_size, max_len)
+    return VocabTokenizer.from_dict(d)
+
+
+def tokenizer_to_dict(tok) -> Optional[dict]:
+    return tok.to_dict() if isinstance(tok, VocabTokenizer) else None

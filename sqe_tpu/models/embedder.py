@@ -124,9 +124,12 @@ class Embedder:
         params: Optional[Params] = None,
         attn_impl: Optional[str] = None,
         device: Optional[jax.Device] = None,
+        tokenizer: Optional[Any] = None,
     ):
         self.cfg = cfg or ModelConfig()
-        self.tokenizer = HashingTokenizer(self.cfg.vocab_size, self.cfg.max_len)
+        self.tokenizer = tokenizer or HashingTokenizer(
+            self.cfg.vocab_size, self.cfg.max_len
+        )
         self.device = device
         if attn_impl is None:
             platform = (device or jax.devices()[0]).platform
@@ -194,3 +197,30 @@ class Embedder:
         if not query.strip():
             return np.zeros((0, self.cfg.embed_dim), dtype=np.float32)
         return self.embed_texts([query], batch_size=1)
+
+
+def params_from_leaves(cfg: ModelConfig, leaves: Sequence[np.ndarray]) -> Params:
+    """Rebuild the params pytree from checkpoint leaves (deterministic
+    tree-leaves order for a given ModelConfig)."""
+    template = init_embedder_params(cfg)
+    treedef = jax.tree_util.tree_structure(template)
+    shaped = jax.tree_util.tree_leaves(template)
+    assert len(shaped) == len(leaves), (
+        f"checkpoint has {len(leaves)} leaves, model expects {len(shaped)}"
+    )
+    cast = [
+        jnp.asarray(leaf, dtype=ref.dtype) for leaf, ref in zip(leaves, shaped)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, cast)
+
+
+def params_fingerprint(params: Params) -> str:
+    """Stable hash of the parameter values: index checkpoints record which
+    embedder produced their vectors so a model/index mismatch is detected at
+    load instead of silently serving garbage similarities."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for leaf in jax.tree_util.tree_leaves(params):
+        h.update(np.asarray(leaf, dtype=np.float32).tobytes())
+    return h.hexdigest()[:16]

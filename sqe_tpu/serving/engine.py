@@ -187,6 +187,13 @@ class RAGEngine:
 
     # ------------------------------------------------------------- checkpoints
 
+    def _model_fingerprint(self) -> str:
+        from sqe_tpu.models.embedder import params_fingerprint
+
+        if getattr(self, "_model_fp", None) is None:
+            self._model_fp = params_fingerprint(self.embedder.params)
+        return self._model_fp
+
     def _save_one_index(self, idx: Any, path: str) -> None:
         graph = getattr(idx, "_graph_host", None)
         levels = getattr(idx, "_levels_host", None)
@@ -195,7 +202,8 @@ class RAGEngine:
         )
         ckpt.save_index(
             path, vectors, idx.metas, graph=graph, levels=levels,
-            extra={"index_kind": self.cfg.index_kind},
+            extra={"index_kind": self.cfg.index_kind,
+                   "model_fp": self._model_fingerprint()},
         )
 
     def _restore_one_index(self, state: dict) -> Any:
@@ -218,6 +226,14 @@ class RAGEngine:
         OpenSearch, embedding_gen.py:83-122)."""
         path = path or self.cfg.checkpoint_dir
         assert path, "no checkpoint dir configured"
+        import dataclasses as _dc
+
+        from sqe_tpu.data.tokenizer import tokenizer_to_dict
+
+        ckpt.save_model(
+            path, self.embedder.params, _dc.asdict(self.cfg.model),
+            tokenizer_state=tokenizer_to_dict(self.embedder.tokenizer),
+        )
         self._save_one_index(self.index, path)
         for ns, idx in self.indices.items():
             if ns == DEFAULT_NAMESPACE or idx is None or not idx.has_any_data():
@@ -239,12 +255,65 @@ class RAGEngine:
         self._save_one_index(idx, os.path.join(path, "namespaces", namespace))
         log.info("namespace %s checkpointed (%d vectors)", namespace, len(idx))
 
+    def load_model_checkpoint(self, path: Optional[str] = None) -> bool:
+        """Restore a trained embedder (params + tokenizer) from a checkpoint —
+        the deploy path for train/fit.py output. Returns True if a model was
+        loaded."""
+        path = path or self.cfg.checkpoint_dir
+        if not path:
+            return False
+        model = ckpt.load_model(path)
+        if model is None:
+            return False
+        from sqe_tpu.config import ModelConfig
+        from sqe_tpu.data.tokenizer import tokenizer_from_dict
+        from sqe_tpu.models.embedder import params_from_leaves
+
+        mcfg = ModelConfig(**model["model_cfg"])
+        params = params_from_leaves(mcfg, model["leaves"])
+        tokenizer = tokenizer_from_dict(
+            model["tokenizer_state"], mcfg.vocab_size, mcfg.max_len
+        )
+        self.embedder = Embedder(
+            mcfg, params=params, device=self.device, tokenizer=tokenizer
+        )
+        if mcfg != self.cfg.model:
+            # The checkpointed model wins: downstream dims (index, cache)
+            # must follow it, so serve needs no matching --model.* flags.
+            import dataclasses as _dc
+
+            self.cfg = self.cfg.with_overrides(
+                model=mcfg,
+                cache=_dc.replace(self.cfg.cache, embed_dim=mcfg.embed_dim),
+            )
+            if self.cache.cfg.embed_dim != mcfg.embed_dim:
+                self.cache = DeviceLFUCache(self.cfg.cache, device=self.device)
+            if not self.index.has_any_data():
+                self.indices[DEFAULT_NAMESPACE] = self._new_index()
+        self._model_fp = None
+        self._batcher = None   # rebind to the new embedder
+        log.info("model checkpoint loaded from %s (fp %s)",
+                 path, self._model_fingerprint())
+        return True
+
     def load_checkpoint(self, path: Optional[str] = None) -> bool:
         path = path or self.cfg.checkpoint_dir
         if not path:
             return False
+        self.load_model_checkpoint(path)
         state = ckpt.load_index(path)
         if state is None:
+            return False
+        saved_fp = state["manifest"].get("model_fp")
+        if saved_fp is not None and saved_fp != self._model_fingerprint():
+            # Vectors were embedded by a different model: serving them against
+            # this embedder's query vectors would give garbage similarities.
+            # Report no-index so the caller re-embeds the corpus.
+            log.warning(
+                "index checkpoint was built by model %s but current model is "
+                "%s; discarding index (corpus will be re-embedded)",
+                saved_fp, self._model_fingerprint(),
+            )
             return False
         idx = self._restore_one_index(state)
         self.indices[DEFAULT_NAMESPACE] = idx

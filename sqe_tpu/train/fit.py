@@ -33,10 +33,15 @@ def fit_embedder(
     attn_impl: str = "xla",
     seed: int = 0,
     log_every: int = 50,
+    tokenizer=None,
 ):
-    """Train on in-chunk span pairs; returns (params, losses)."""
+    """Train on in-chunk span pairs; returns (params, losses).
+
+    ``tokenizer`` defaults to the hashing tokenizer; pass a corpus-trained
+    ``VocabTokenizer`` so frequent words own private embedding rows (the
+    quality path — DESIGN.md §10)."""
     cfg = cfg or ModelConfig()
-    tokenizer = HashingTokenizer(cfg.vocab_size, cfg.max_len)
+    tokenizer = tokenizer or HashingTokenizer(cfg.vocab_size, cfg.max_len)
     state, tx = make_train_state(cfg, lr=lr, key=jax.random.PRNGKey(seed))
     step_fn = jax.jit(
         functools.partial(train_step, cfg=cfg, tx=tx, attn_impl=attn_impl),

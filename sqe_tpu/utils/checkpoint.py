@@ -90,3 +90,55 @@ def load_cache(path: str) -> Optional[dict]:
         "responses": host["responses"],
         "size": host["size"],
     }
+
+
+def save_model(
+    path: str,
+    params: Any,
+    model_cfg: Dict[str, Any],
+    tokenizer_state: Optional[dict] = None,
+) -> None:
+    """Persist embedder params (pytree leaves in deterministic order), the
+    ModelConfig needed to rebuild the tree structure, and the tokenizer state.
+    The reference's model lived in the external Ollama server; here trained
+    params are first-class checkpoint content so a corpus-fit embedder
+    (train/fit.py) actually serves."""
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    leaves = jax.tree_util.tree_leaves(params)
+    np.savez(
+        os.path.join(path, "model.npz"),
+        **{f"p{i}": np.asarray(leaf, dtype=np.float32) for i, leaf in enumerate(leaves)},
+    )
+    manifest = {
+        "version": FORMAT_VERSION,
+        "model_cfg": model_cfg,
+        "n_leaves": len(leaves),
+    }
+    with open(os.path.join(path, "model_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    if tokenizer_state is not None:
+        with open(os.path.join(path, "tokenizer.json"), "w", encoding="utf-8") as f:
+            json.dump(tokenizer_state, f)
+
+
+def load_model(path: str) -> Optional[dict]:
+    """Returns {"model_cfg", "leaves", "tokenizer_state"} or None."""
+    manifest_path = os.path.join(path, "model_manifest.json")
+    if not os.path.exists(manifest_path):
+        return None
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    data = np.load(os.path.join(path, "model.npz"))
+    leaves = [data[f"p{i}"] for i in range(manifest["n_leaves"])]
+    tok_path = os.path.join(path, "tokenizer.json")
+    tokenizer_state = None
+    if os.path.exists(tok_path):
+        with open(tok_path, encoding="utf-8") as f:
+            tokenizer_state = json.load(f)
+    return {
+        "model_cfg": manifest["model_cfg"],
+        "leaves": leaves,
+        "tokenizer_state": tokenizer_state,
+    }

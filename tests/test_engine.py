@@ -121,3 +121,47 @@ def test_ask_unknown_namespace_degrades(engine):
     not an exception (reference empty-index degrade, app/main.py:462-464)."""
     answer = asyncio.run(engine.ask("anything", chat_id="c1", namespace="ghost"))
     assert isinstance(answer, str) and answer
+
+
+def test_model_checkpoint_roundtrip_and_mismatch(small_engine_cfg, cpu_device,
+                                                 tmp_path):
+    """save_checkpoint persists the embedder; load_checkpoint restores it and
+    rejects an index built by a different model (forcing a re-embed) instead
+    of serving mismatched vectors."""
+    import jax
+
+    from sqe_tpu.models.embedder import init_embedder_params, params_fingerprint
+
+    path = str(tmp_path / "ckpt_model")
+    trained_params = init_embedder_params(
+        small_engine_cfg.model, key=jax.random.PRNGKey(123)
+    )
+    from sqe_tpu.models import Embedder
+
+    eng = RAGEngine(
+        small_engine_cfg, device=cpu_device, backend=EchoBackend(),
+        embedder=Embedder(small_engine_cfg.model, params=trained_params,
+                          attn_impl="xla", device=cpu_device),
+    )
+    eng.ingest_chunks([Chunk(f"PMC{i}.txt", 0, f"doc {i} organ{i}") for i in range(8)])
+    eng.save_checkpoint(path)
+
+    eng2 = RAGEngine(small_engine_cfg, device=cpu_device, backend=EchoBackend())
+    assert eng2.load_checkpoint(path)
+    assert params_fingerprint(eng2.embedder.params) == params_fingerprint(trained_params)
+    assert len(eng2.index) == 8
+
+    # Corrupt the stored model fingerprint -> index must be rejected.
+    import json
+    import os
+
+    man = os.path.join(path, "manifest.json")
+    with open(man) as f:
+        m = json.load(f)
+    m["model_fp"] = "deadbeefdeadbeef"
+    with open(man, "w") as f:
+        json.dump(m, f)
+    eng3 = RAGEngine(small_engine_cfg, device=cpu_device, backend=EchoBackend())
+    assert not eng3.load_checkpoint(path)   # model loaded, index discarded
+    assert params_fingerprint(eng3.embedder.params) == params_fingerprint(trained_params)
+    assert len(eng3.index) == 0

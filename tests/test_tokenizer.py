@@ -63,3 +63,40 @@ def test_native_matches_python():
     ids_p, mask_p = t_python.encode_batch(texts)
     np.testing.assert_array_equal(ids_n, ids_p)
     np.testing.assert_array_equal(mask_n, mask_p)
+
+
+class TestVocabTokenizer:
+    def test_frequent_words_get_private_ids(self):
+        from sqe_tpu.data.tokenizer import N_SPECIAL, VocabTokenizer
+
+        texts = ["cardiac muscle cardiac tissue"] * 10 + ["rare xyzzy"]
+        tok = VocabTokenizer.train(texts, vocab_size=128, max_len=16,
+                                   hash_tail=32)
+        ids = tok.tokenize("cardiac muscle")
+        assert all(N_SPECIAL <= i < 128 - 32 for i in ids)  # learned region
+        assert ids[0] != ids[1]
+        # OOV word hashes into the tail deterministically
+        oov = tok.tokenize("completelyunseenword")[0]
+        assert 128 - 32 <= oov < 128
+        assert oov == tok.tokenize("completelyunseenword")[0]
+
+    def test_encode_batch_contract_matches_hashing(self):
+        """Same static-shape [B, L] + CLS + mask contract as the hashing
+        tokenizer (the embedder is tokenizer-agnostic)."""
+        from sqe_tpu.data.tokenizer import CLS_ID, VocabTokenizer
+
+        tok = VocabTokenizer.train(["alpha beta gamma"], vocab_size=64,
+                                   max_len=8, hash_tail=16)
+        ids, mask = tok.encode_batch(["alpha beta", ""], max_len=8)
+        assert ids.shape == (2, 8) and mask.shape == (2, 8)
+        assert ids[0, 0] == CLS_ID
+        assert mask[0].sum() == 3  # CLS + 2 words
+        assert mask[1].sum() == 2  # CLS + UNK for empty text
+
+    def test_roundtrip_dict(self):
+        from sqe_tpu.data.tokenizer import VocabTokenizer, tokenizer_from_dict
+
+        tok = VocabTokenizer.train(["one two three two three three"],
+                                   vocab_size=64, max_len=8, hash_tail=16)
+        tok2 = tokenizer_from_dict(tok.to_dict(), 64, 8)
+        assert tok2.tokenize("three two one zzz") == tok.tokenize("three two one zzz")
