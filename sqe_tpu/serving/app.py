@@ -227,6 +227,8 @@ def main(argv: Optional[list] = None) -> None:
         engine.build_from_corpus()
         if cfg.checkpoint_dir:
             engine.save_checkpoint()
+    # Crash recovery: re-ingest journaled uploads the checkpoint missed.
+    engine.replay_journal()
 
     auth_hook: AuthHook = allow_all_auth
     users_file = os.getenv("SQE_AUTH_USERS_FILE")

@@ -170,20 +170,57 @@ class RAGEngine:
         log.info("indexed %d chunks into namespace %s", len(chunks), namespace)
         return len(chunks)
 
+    def _journal(self) -> Optional[ckpt.IngestJournal]:
+        if not self.cfg.checkpoint_dir:
+            return None
+        if getattr(self, "_journal_obj", None) is None:
+            self._journal_obj = ckpt.IngestJournal(self.cfg.checkpoint_dir)
+        return self._journal_obj
+
     def ingest_document(
-        self, doc_id: str, text: str, namespace: str = DEFAULT_NAMESPACE
+        self,
+        doc_id: str,
+        text: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        journal: bool = True,
     ) -> int:
         """Chunk + embed + index one document (the /upload_text path,
-        embedding_gen.py:374-407)."""
+        embedding_gen.py:374-407). With a checkpoint dir configured the
+        document is journaled (write-ahead, fsync) before any device work, so
+        a crash mid-ingest loses nothing: startup replays the journal."""
         chunks = chunk_document(doc_id, text, self.cfg.chunk_size)
         if not chunks:
             return 0
+        jr = self._journal() if journal else None
+        if jr is not None:
+            jr.append(namespace, doc_id, text)
         embs = self.embedder.embed_texts(
             [c.text for c in chunks], batch_size=self.cfg.batch_size
         )
         idx = self.get_index(namespace, create=True)
         idx.add(embs, chunks)
         return len(chunks)
+
+    def replay_journal(self) -> int:
+        """Re-ingest journaled documents missing from the restored indices
+        (crash recovery). Returns the number of documents replayed."""
+        jr = self._journal()
+        if jr is None:
+            return 0
+        replayed = 0
+        for rec in jr.entries():
+            ns = rec.get("namespace", DEFAULT_NAMESPACE)
+            idx = self.get_index(ns)
+            if idx is not None and any(
+                m.get("doc_id") == rec["doc_id"] for m in idx.metas
+            ):
+                continue
+            self.ingest_document(rec["doc_id"], rec["text"], namespace=ns,
+                                 journal=False)
+            replayed += 1
+        if replayed:
+            log.info("replayed %d journaled documents", replayed)
+        return replayed
 
     # ------------------------------------------------------------- checkpoints
 
@@ -240,6 +277,10 @@ class RAGEngine:
                 continue
             self._save_one_index(idx, os.path.join(path, "namespaces", ns))
         ckpt.save_cache(path, self.cache.snapshot())
+        if path == self.cfg.checkpoint_dir:
+            jr = self._journal()
+            if jr is not None:
+                jr.compact()   # everything journaled is now durably saved
         log.info("checkpoint saved to %s (%d namespaces)", path, len(self.indices))
 
     def save_namespace(self, namespace: str, path: Optional[str] = None) -> None:

@@ -142,3 +142,49 @@ def load_model(path: str) -> Optional[dict]:
         "leaves": leaves,
         "tokenizer_state": tokenizer_state,
     }
+
+
+class IngestJournal:
+    """Append-only write-ahead journal for document ingestion.
+
+    The reference persisted uploads to disk before indexing
+    (embedding_gen.py:360-367) but a crash between accepting a file and
+    OpenSearch indexing lost the index entry. Here every /upload_text ingest
+    appends (namespace, doc_id, text) — fsync'd — BEFORE any embedding work;
+    startup replays entries whose doc_id is missing from the restored index,
+    and a successful full checkpoint compacts the journal.
+    """
+
+    def __init__(self, ckpt_dir: str):
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self.path = os.path.join(ckpt_dir, "ingest_journal.jsonl")
+
+    def append(self, namespace: str, doc_id: str, text: str) -> None:
+        rec = json.dumps(
+            {"namespace": namespace, "doc_id": doc_id, "text": text}
+        )
+        with open(self.path, "a", encoding="utf-8") as f:
+            f.write(rec + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def entries(self) -> List[Dict[str, Any]]:
+        if not os.path.exists(self.path):
+            return []
+        out: List[Dict[str, Any]] = []
+        with open(self.path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    # torn tail write from a crash mid-append: ignore
+                    continue
+        return out
+
+    def compact(self) -> None:
+        """Drop all entries (call only after their state is durably saved)."""
+        if os.path.exists(self.path):
+            os.remove(self.path)

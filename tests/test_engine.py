@@ -165,3 +165,32 @@ def test_model_checkpoint_roundtrip_and_mismatch(small_engine_cfg, cpu_device,
     assert not eng3.load_checkpoint(path)   # model loaded, index discarded
     assert params_fingerprint(eng3.embedder.params) == params_fingerprint(trained_params)
     assert len(eng3.index) == 0
+
+
+def test_ingest_journal_replay_after_crash(small_engine_cfg, cpu_device,
+                                           tmp_path):
+    """Kill-during-ingest semantics: the journal record lands (fsync) before
+    any device work, so a process that died mid-/upload_text is recovered by
+    replay_journal() on the next startup."""
+    cfg = small_engine_cfg.with_overrides(checkpoint_dir=str(tmp_path / "cj"))
+    eng = RAGEngine(cfg, device=cpu_device, backend=EchoBackend())
+    eng.ingest_chunks([Chunk(f"PMC{i}.txt", 0, f"doc {i}") for i in range(4)])
+    eng.save_checkpoint()
+
+    # Simulate the crash window: journal the doc but never index it
+    # (equivalent to SIGKILL right after the WAL append).
+    eng._journal().append("u5", "crashdoc", "kappa receptor binding study")
+
+    eng2 = RAGEngine(cfg, device=cpu_device, backend=EchoBackend())
+    assert eng2.load_checkpoint()
+    assert eng2.replay_journal() == 1
+    assert any(m["doc_id"] == "crashdoc" for m in eng2.get_index("u5").metas)
+
+    # Replay is idempotent; a full checkpoint compacts the journal.
+    assert eng2.replay_journal() == 0
+    eng2.save_checkpoint()
+    assert eng2._journal().entries() == []
+    eng3 = RAGEngine(cfg, device=cpu_device, backend=EchoBackend())
+    assert eng3.load_checkpoint()
+    assert eng3.replay_journal() == 0
+    assert any(m["doc_id"] == "crashdoc" for m in eng3.get_index("u5").metas)
