@@ -1,21 +1,32 @@
 """End-to-end serving benchmark (BASELINE.json config 5).
 
 Builds a synthetic corpus, starts the native HTTP server in-process with the
-offline generation backend, fires concurrent /ask requests, and reports
-throughput and latency percentiles for the full pipeline
+offline generation backend, fires /ask requests in two phases — sequential
+B=1 (interactive latency) and concurrent (throughput) — and reports exact
+end-to-end percentiles plus the engine's per-stage histograms
 (HTTP -> embed -> cache probe -> search -> prompt -> generate -> respond).
+
+The per-dispatch tunnel overhead (this environment reaches the TPU through a
+relay; ~29 ms per device call) is measured separately so device-side numbers
+are interpretable against the BASELINE <5 ms retrieval / <50 ms serve targets.
+
+Writes scripts/serve_bench_results.json.
 
 Usage: python scripts/serve_bench.py [--n_chunks=20000] [--n_requests=512]
        [--concurrency=64] [--batching=true]
 """
 
 import asyncio
+import json
 import os
 import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "serve_bench_results.json")
 
 
 def parse_flag(argv, name, default, cast):
@@ -24,6 +35,36 @@ def parse_flag(argv, name, default, cast):
             v = a.split("=", 1)[1]
             return cast(v) if cast is not bool else v.lower() == "true"
     return default
+
+
+def pctiles(latencies):
+    s = sorted(latencies)
+    n = len(s)
+    return {
+        "n": n,
+        "mean_ms": round(statistics.mean(s) * 1e3, 2),
+        "p50_ms": round(s[n // 2] * 1e3, 2),
+        "p95_ms": round(s[min(n - 1, int(n * 0.95))] * 1e3, 2),
+        "p99_ms": round(s[min(n - 1, int(n * 0.99))] * 1e3, 2),
+        "max_ms": round(s[-1] * 1e3, 2),
+    }
+
+
+def measure_dispatch_overhead(device):
+    """Round-trip cost of a trivial device program (tunnel dispatch floor)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = jax.device_put(jnp.ones((8, 8), jnp.float32), device)
+    f = jax.jit(lambda a: a + 1.0)
+    np.asarray(f(x))  # compile
+    times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        times.append(time.perf_counter() - t0)
+    return round(min(times) * 1e3, 2)
 
 
 async def run(n_chunks, n_requests, concurrency, batching):
@@ -40,6 +81,8 @@ async def run(n_chunks, n_requests, concurrency, batching):
     enable()
     device = jax.devices()[0]
     print(f"device: {device}, batching={batching}", file=sys.stderr)
+    dispatch_ms = measure_dispatch_overhead(device)
+    print(f"tunnel dispatch overhead: {dispatch_ms} ms/call", file=sys.stderr)
 
     cfg = EngineConfig(index_kind="hnsw")
     engine = RAGEngine(cfg, device=device, batching=batching)
@@ -63,10 +106,9 @@ async def run(n_chunks, n_requests, concurrency, batching):
               file=sys.stderr)
 
     url = f"http://127.0.0.1:{port}/ask"
-    latencies = []
     sem = asyncio.Semaphore(concurrency)
 
-    async def one(client, i):
+    async def one(client, i, latencies):
         async with sem:
             t0 = time.perf_counter()
             r = await client.post(url, json={
@@ -77,33 +119,51 @@ async def run(n_chunks, n_requests, concurrency, batching):
             latencies.append(time.perf_counter() - t0)
             assert r.status_code == 200, r.text
 
+    results = {
+        "config": {"n_chunks": n_chunks, "n_requests": n_requests,
+                   "concurrency": concurrency, "batching": batching,
+                   "device": str(device), "generation": "offline-echo"},
+        "tunnel_dispatch_overhead_ms": dispatch_ms,
+    }
+
     async with httpx.AsyncClient() as client:
-        # warmup (compile)
-        await one(client, 0)
-        latencies.clear()
+        warm = []
+        await one(client, 0, warm)   # compile warmup
+
+        # Phase 1: sequential B=1 — interactive latency.
+        seq_lat = []
+        n_seq = min(64, n_requests)
+        for i in range(n_seq):
+            await one(client, 1000 + i, seq_lat)
+        results["sequential_b1"] = pctiles(seq_lat)
+
+        # Phase 2: concurrent mixed load (some repeats -> cache-hit path).
+        conc_lat = []
         t0 = time.perf_counter()
-        await asyncio.gather(*(one(client, i) for i in range(n_requests)))
+        await asyncio.gather(*(one(client, i, conc_lat)
+                               for i in range(n_requests)))
         wall = time.perf_counter() - t0
+        results["concurrent"] = {
+            **pctiles(conc_lat),
+            "req_per_s": round(n_requests / wall, 1),
+        }
 
     await server.stop()
-    lat_sorted = sorted(latencies)
-    p50 = lat_sorted[len(lat_sorted) // 2]
-    p99 = lat_sorted[int(len(lat_sorted) * 0.99)]
     stats = engine.stats()
-    print(
-        f"{n_requests} requests, concurrency {concurrency}: "
-        f"{n_requests/wall:.0f} req/s, p50 {p50*1e3:.1f} ms, "
-        f"p99 {p99*1e3:.1f} ms, mean {statistics.mean(latencies)*1e3:.1f} ms",
-        file=sys.stderr,
-    )
-    print(f"cache: {stats['cache']}", file=sys.stderr)
+    results["stages"] = stats["stages"]
+    results["cache"] = stats["cache"]
     if batching and engine._batcher is not None:
-        print(
-            f"batcher: {engine._batcher.requests} reqs in "
-            f"{engine._batcher.batches} device batches",
-            file=sys.stderr,
-        )
-    return n_requests / wall, p50
+        results["batcher"] = {
+            "requests": engine._batcher.requests,
+            "device_batches": engine._batcher.batches,
+        }
+
+    for phase in ("sequential_b1", "concurrent"):
+        print(f"{phase}: {json.dumps(results[phase])}", file=sys.stderr)
+    with open(RESULTS, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {RESULTS}", file=sys.stderr)
+    return results
 
 
 if __name__ == "__main__":

@@ -77,8 +77,8 @@ def _fit(argv: list) -> None:
     from sqe_tpu.utils import checkpoint as ckpt
 
     # fit-only flags (stripped before the shared config parser).
-    fit_flags = {"steps": 2000, "lr": 3e-4, "fit_batch": 64,
-                 "pair_max_len": 128, "eval_queries": 256, "hash_vocab": False}
+    fit_flags = {"steps": 3000, "lr": 3e-4, "fit_batch": 128,
+                 "pair_max_len": 512, "eval_queries": 256, "hash_vocab": False}
     remaining = []
     for arg in argv:
         key, _, raw = arg.lstrip("-").partition("=")

@@ -37,7 +37,20 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01) -> optax.GradientTransformation:
+def make_optimizer(
+    lr: float = 1e-4,
+    weight_decay: float = 0.01,
+    schedule_steps: Optional[int] = None,
+) -> optax.GradientTransformation:
+    """AdamW with grad clipping; with ``schedule_steps`` the lr follows
+    linear warmup (5%) + cosine decay — measurably better than constant lr
+    for the corpus fit (DESIGN.md §10)."""
+    if schedule_steps:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr,
+            warmup_steps=max(1, schedule_steps // 20),
+            decay_steps=schedule_steps, end_value=lr * 0.05,
+        )
     return optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(lr, weight_decay=weight_decay),
@@ -48,9 +61,10 @@ def make_train_state(
     cfg: ModelConfig,
     lr: float = 1e-4,
     key: Optional[jax.Array] = None,
+    schedule_steps: Optional[int] = None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     params = init_embedder_params(cfg, key)
-    tx = make_optimizer(lr)
+    tx = make_optimizer(lr, schedule_steps=schedule_steps)
     return TrainState(params, tx.init(params), jnp.int32(0)), tx
 
 

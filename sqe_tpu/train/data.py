@@ -36,6 +36,16 @@ def span_pair(words: List[str], rng: np.random.Generator,
     return " ".join(words[s1 : s1 + l1]), " ".join(words[s2 : s2 + l2])
 
 
+def query_span(words: List[str], rng: np.random.Generator,
+               min_len: int = 4, max_len: int = 24) -> str:
+    """A short random word span — the shape of a real serving query."""
+    n = len(words)
+    span = int(rng.integers(min_len, max_len + 1))
+    span = min(span, n)
+    start = int(rng.integers(0, max(1, n - span + 1)))
+    return " ".join(words[start : start + span])
+
+
 def pair_batches(
     chunks: Sequence[Chunk],
     tokenizer: HashingTokenizer,
@@ -43,9 +53,18 @@ def pair_batches(
     max_len: int = 128,
     seed: int = 0,
     epochs: int = 1,
+    style: str = "sym",
+    q_max_len: int = 32,
 ) -> Iterator[dict]:
-    """Yields train-step batches: {q_ids, q_mask, p_ids, p_mask} with static
-    shapes [batch_size, max_len]."""
+    """Yields train-step batches: {q_ids, q_mask, p_ids, p_mask}.
+
+    ``style="sym"``: two medium spans from one chunk (shapes [B, max_len]
+    both). ``style="asym"``: a SHORT query span (4-24 words, shape
+    [B, q_max_len]) against the FULL chunk text (shape [B, max_len]) —
+    matching the serving distribution, where users send short questions and
+    the index holds 512-word chunks. Queries and passages go through separate
+    forwards, so asymmetric shapes cost nothing.
+    """
     rng = np.random.default_rng(seed)
     texts = [c.text.split() for c in chunks if c.text.strip()]
     if not texts:
@@ -56,10 +75,15 @@ def pair_batches(
             rows = order[start : start + batch_size]
             qs, ps = [], []
             for r in rows:
-                a, b = span_pair(texts[r], rng)
-                qs.append(a)
-                ps.append(b)
-            q_ids, q_mask = tokenizer.encode_batch(qs, max_len=max_len)
+                if style == "asym":
+                    qs.append(query_span(texts[r], rng))
+                    ps.append(" ".join(texts[r]))
+                else:
+                    a, b = span_pair(texts[r], rng)
+                    qs.append(a)
+                    ps.append(b)
+            q_len = q_max_len if style == "asym" else max_len
+            q_ids, q_mask = tokenizer.encode_batch(qs, max_len=q_len)
             p_ids, p_mask = tokenizer.encode_batch(ps, max_len=max_len)
             yield {"q_ids": q_ids, "q_mask": q_mask,
                    "p_ids": p_ids, "p_mask": p_mask}

@@ -34,15 +34,19 @@ def fit_embedder(
     seed: int = 0,
     log_every: int = 50,
     tokenizer=None,
+    style: str = "asym",
+    q_max_len: int = 32,
 ):
     """Train on in-chunk span pairs; returns (params, losses).
 
     ``tokenizer`` defaults to the hashing tokenizer; pass a corpus-trained
-    ``VocabTokenizer`` so frequent words own private embedding rows (the
-    quality path — DESIGN.md §10)."""
+    ``VocabTokenizer`` so frequent words own private embedding rows.
+    ``style="asym"`` (default) trains short-query -> full-chunk pairs,
+    matching the serving distribution (DESIGN.md §10)."""
     cfg = cfg or ModelConfig()
     tokenizer = tokenizer or HashingTokenizer(cfg.vocab_size, cfg.max_len)
-    state, tx = make_train_state(cfg, lr=lr, key=jax.random.PRNGKey(seed))
+    state, tx = make_train_state(cfg, lr=lr, key=jax.random.PRNGKey(seed),
+                                 schedule_steps=steps)
     step_fn = jax.jit(
         functools.partial(train_step, cfg=cfg, tx=tx, attn_impl=attn_impl),
         donate_argnums=(0,),
@@ -51,7 +55,7 @@ def fit_embedder(
     t0 = time.perf_counter()
     batches = pair_batches(
         chunks, tokenizer, batch_size=batch_size, max_len=pair_max_len,
-        seed=seed, epochs=max(1, steps),
+        seed=seed, epochs=max(1, steps), style=style, q_max_len=q_max_len,
     )
     for i, batch in enumerate(batches):
         if i >= steps:
