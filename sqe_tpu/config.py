@@ -101,8 +101,9 @@ class EngineConfig:
     chunk_size: int = 512        # words per chunk (main.py:37)
     batch_size: int = 64         # embed batch (main.py:36)
     # "flat" (exact MXU scan — the winning TPU design up to ~1M vectors/chip,
-    # recall 1.0; DESIGN.md §8) | "hnsw" (graph ANN for tiny-batch latency and
-    # very large N).
+    # recall 1.0; DESIGN.md §8) | "ivf" (MXU k-means clusters + Pallas probed
+    # scoring — small-batch latency and very large N; DESIGN.md §8b) | "hnsw"
+    # (graph ANN, kept for parity with the reference's nmslib engine).
     index_kind: str = "flat"
     checkpoint_dir: Optional[str] = None
     mesh_shape: Optional[tuple] = None  # e.g. (8,) to shard the index over 8 chips

@@ -1,2 +1,3 @@
 from sqe_tpu.index.flat import FlatIndex  # noqa: F401
 from sqe_tpu.index.hnsw import HNSWIndex  # noqa: F401
+from sqe_tpu.index.ivf import IVFIndex  # noqa: F401

@@ -1,0 +1,378 @@
+"""IVF (inverted-file) index: the TPU-native ANN design.
+
+Graph ANN (HNSW) is pointer-chasing — every beam iteration is a data-dependent
+scatter of tiny gathers plus a sort, which is exactly what a systolic-array
+machine is worst at. The TPU-shaped alternative replaces the reference's
+nmslib HNSW (app/main.py:263-281) at large N / small batch:
+
+- **Build**: spherical k-means over the corpus, run entirely on the MXU
+  (blocked assign matmul + segment-sum update). Rows are then laid out
+  cluster-major and padded to a fixed cluster capacity, so every cluster is
+  ONE contiguous HBM block.
+- **Search**: stage 1 probes all C centroids with one matmul (top-P clusters
+  per query); stage 2 scores the probed clusters with a Pallas kernel whose
+  BlockSpec index map is driven by the scalar-prefetched probe ids — Mosaic
+  double-buffers the data-dependent cluster DMAs across grid steps, so HBM
+  traffic is exactly the probed bytes (the XLA lowering would materialize a
+  [B, P, Smax, D] gather to HBM first). Final top-k merges P*Smax masked
+  scores per query in XLA.
+
+Recall is tunable via n_probe; the recall gate vs the exact scan lives in
+tests/test_ivf.py. Search cost scales with probed bytes (~P/C of the corpus),
+not N — this is the engine that beats the exact MXU scan at large N and the
+HNSW beam at every batch size (DESIGN.md §8b).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sqe_tpu.data.corpus import Chunk
+from sqe_tpu.ops.distance import l2_normalize
+
+
+def _to_meta(m: Dict[str, Any] | Chunk) -> Dict[str, Any]:
+    return {"doc_id": m.doc_id, "text": m.text} if isinstance(m, Chunk) else dict(m)
+
+
+# ----------------------------------------------------------------- k-means
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def _assign_blocked(vecs: jax.Array, centers: jax.Array,
+                    block_n: int = 16384) -> jax.Array:
+    """argmax cluster per row, computed in [block_n, C] score tiles."""
+    n = vecs.shape[0]
+    nb = n // block_n
+
+    def body(_, block):
+        s = jax.lax.dot_general(
+            block, centers, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return None, jnp.argmax(s, axis=1).astype(jnp.int32)
+
+    _, out = jax.lax.scan(
+        body, None, vecs.reshape(nb, block_n, vecs.shape[1])
+    )
+    return out.reshape(n)
+
+
+@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("block_n",))
+def _kmeans_step(vecs: jax.Array, centers: jax.Array, key: jax.Array,
+                 block_n: int = 16384) -> jax.Array:
+    """One spherical k-means iteration; dead clusters reseed from random rows."""
+    c = centers.shape[0]
+    assign = _assign_blocked(vecs, centers, block_n=block_n)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(assign, jnp.float32), assign, num_segments=c
+    )
+    sums = jax.ops.segment_sum(vecs, assign, num_segments=c)
+    new_centers = l2_normalize(sums / jnp.maximum(counts, 1.0)[:, None])
+    reseed = vecs[jax.random.randint(key, (c,), 0, vecs.shape[0])]
+    return jnp.where((counts > 0)[:, None], new_centers, reseed)
+
+
+def kmeans_device(
+    vecs_dev: jax.Array,      # [N, D] f32 normalized, on device (N % block == 0 not required)
+    n_clusters: int,
+    iters: int = 10,
+    seed: int = 0,
+    block_n: int = 16384,
+) -> jax.Array:
+    """Spherical k-means on the MXU. Returns centers [C, D] f32 (normalized)."""
+    n = vecs_dev.shape[0]
+    block_n = min(block_n, n)
+    n_trim = (n // block_n) * block_n      # assignment scan needs full blocks
+    v = vecs_dev[:n_trim]
+    key = jax.random.PRNGKey(seed)
+    init_rows = jax.random.choice(key, n_trim, (n_clusters,), replace=False)
+    centers = v[init_rows].astype(jnp.float32)
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        centers = _kmeans_step(v, centers, sub, block_n=block_n)
+    return centers
+
+
+# ------------------------------------------------------------ pallas scoring
+
+
+def _ivf_score_kernel(ids_ref, q_ref, clusters_ref, gids_ref, out_ref):
+    """One (query b, probe p) grid step: score the probed cluster block.
+
+    clusters_ref/gids_ref blocks are selected by the scalar-prefetched probe
+    ids (data-dependent index map); Mosaic double-buffers the HBM->VMEM block
+    fetches across grid steps.
+    """
+    block = clusters_ref[0].astype(jnp.float32)        # [Smax, D]
+    q = q_ref[:].astype(jnp.float32)                   # [1, D]
+    sims = jax.lax.dot_general(
+        block, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # [Smax, 1]
+    sims = sims.reshape(1, -1)                         # [1, Smax]
+    gid = gids_ref[0].reshape(1, -1)                   # [1, Smax]
+    out_ref[:] = jnp.where(gid >= 0, sims, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ivf_score(
+    clusters: jax.Array,    # [C, Smax, D] cluster-major padded vectors
+    member_gids: jax.Array,  # [C, Smax] int32 global ids (-1 pad)
+    probe_ids: jax.Array,   # [B, P] int32
+    queries: jax.Array,     # [B, D] f32 normalized
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns masked scores [B, P*Smax] f32 (pad slots are -inf)."""
+    c, smax, d = clusters.shape
+    b, p = probe_ids.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, p),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda i, j, ids: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, smax, d), lambda i, j, ids: (ids[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, smax), lambda i, j, ids: (ids[i, j], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, smax), lambda i, j, ids: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _ivf_score_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, p * smax), jnp.float32),
+        interpret=interpret,
+    )(probe_ids, queries, clusters, member_gids)
+
+
+def ivf_score_xla(clusters, member_gids, probe_ids, queries):
+    """XLA oracle for the Pallas kernel (also the CPU path)."""
+    b, p = probe_ids.shape
+    blocks = clusters[probe_ids].astype(jnp.float32)   # [B, P, Smax, D]
+    sims = jnp.einsum("bd,bpsd->bps", queries.astype(jnp.float32), blocks,
+                      preferred_element_type=jnp.float32)
+    gids = member_gids[probe_ids]                      # [B, P, Smax]
+    sims = jnp.where(gids >= 0, sims, -jnp.inf)
+    return sims.reshape(b, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_probe", "k", "use_pallas", "interpret")
+)
+def ivf_search(
+    queries: jax.Array,      # [B, D] normalized f32
+    centers: jax.Array,      # [C, D]
+    clusters: jax.Array,     # [C, Smax, D]
+    member_gids: jax.Array,  # [C, Smax]
+    *,
+    n_probe: int,
+    k: int,
+    use_pallas: bool,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-stage IVF search. Returns (scores [B, k], global ids [B, k])."""
+    qf = queries.astype(jnp.float32)
+    ps = jax.lax.dot_general(
+        qf, centers, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # [B, C]
+    _, probe_ids = jax.lax.top_k(ps, n_probe)
+    probe_ids = probe_ids.astype(jnp.int32)
+    if use_pallas:
+        scores = ivf_score(clusters, member_gids, probe_ids, qf,
+                           interpret=interpret)
+    else:
+        scores = ivf_score_xla(clusters, member_gids, probe_ids, qf)
+    top_s, sel = jax.lax.top_k(scores, k)
+    flat_gids = member_gids[probe_ids].reshape(queries.shape[0], -1)
+    top_i = jnp.take_along_axis(flat_gids, sel, axis=1)
+    top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
+    return top_s, top_i
+
+
+# ------------------------------------------------------------------ the index
+
+
+class IVFIndex:
+    """Cluster-major IVF index with MXU k-means build.
+
+    Same contract as FlatIndex/HNSWIndex (has_any_data / add / search /
+    search_ids / metas — reference app/main.py:291-373). ``n_probe`` trades
+    recall for probed bytes; defaults target recall@10 >= 0.95 on
+    embedding-like (clustered) data.
+    """
+
+    def __init__(
+        self,
+        embed_dim: int = 1024,
+        n_clusters: int = 0,         # 0 = auto: ~4*sqrt(N)
+        n_probe: int = 0,            # 0 = auto: max(8, C//16)
+        kmeans_iters: int = 10,
+        device: Optional[jax.Device] = None,
+        vector_dtype: Any = jnp.float32,
+        seed: int = 0,
+    ):
+        self.embed_dim = embed_dim
+        self.n_clusters = n_clusters
+        self.n_probe = n_probe
+        self.kmeans_iters = kmeans_iters
+        self.device = device
+        self.vector_dtype = vector_dtype
+        self.seed = seed
+        self.metas: List[Dict[str, Any]] = []
+        self._centers: Optional[jax.Array] = None     # [C, D] f32
+        self._clusters: Optional[jax.Array] = None    # [C, Smax, D]
+        self._gids: Optional[jax.Array] = None        # [C, Smax] int32
+        self._counts: Optional[np.ndarray] = None     # [C] host
+        self._vectors_host: Optional[np.ndarray] = None
+        self._smax = 0
+        self._n = 0
+
+    def __len__(self) -> int:
+        return self._n
+
+    def has_any_data(self) -> bool:
+        return self._n > 0
+
+    def valid_vectors(self) -> Optional[np.ndarray]:
+        return self._vectors_host if self._n else None
+
+    def _put(self, x, dtype=None):
+        arr = jnp.asarray(x, dtype=dtype) if dtype is not None else jnp.asarray(x)
+        return jax.device_put(arr, self.device) if self.device else arr
+
+    def _use_pallas(self) -> bool:
+        dev = self.device or jax.devices()[0]
+        return dev.platform == "tpu"
+
+    def build(
+        self,
+        embeddings: np.ndarray,
+        metas: Sequence[Dict[str, Any] | Chunk],
+        centers: Optional[np.ndarray] = None,
+    ) -> None:
+        emb = np.asarray(embeddings, dtype=np.float32)
+        emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
+        n = emb.shape[0]
+        c = self.n_clusters or max(8, int(4 * np.sqrt(n)))
+        c = min(c, n)
+        vecs_dev = self._put(emb)
+        if centers is None:
+            centers_dev = kmeans_device(
+                vecs_dev, c, iters=self.kmeans_iters, seed=self.seed
+            )
+        else:
+            centers_dev = self._put(centers, jnp.float32)
+        block = min(16384, n)
+        n_trim = (n // block) * block
+        assign = np.asarray(_assign_blocked(vecs_dev[:n_trim],
+                                            centers_dev, block_n=block))
+        if n_trim < n:
+            tail = np.asarray(jnp.argmax(jax.lax.dot_general(
+                vecs_dev[n_trim:], centers_dev, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32), axis=1)).astype(np.int32)
+            assign = np.concatenate([assign, tail])
+
+        counts = np.bincount(assign, minlength=c)
+        # Capacity: headroom over the fullest cluster, lane-aligned, so
+        # incremental adds have slots before a rebuild is forced.
+        smax = int(-(-max(1, counts.max()) * 5 // 4))
+        smax = ((smax + 127) // 128) * 128
+        clusters = np.zeros((c, smax, emb.shape[1]), np.float32)
+        gids = np.full((c, smax), -1, np.int32)
+        fill = np.zeros(c, np.int64)
+        order = np.argsort(assign, kind="stable")
+        for row in order:
+            cl = assign[row]
+            clusters[cl, fill[cl]] = emb[row]
+            gids[cl, fill[cl]] = row
+            fill[cl] += 1
+
+        self._centers = centers_dev
+        self._clusters = self._put(clusters, self.vector_dtype)
+        self._gids = self._put(gids)
+        self._counts = fill
+        self._vectors_host = emb
+        self._smax = smax
+        self._n = n
+        self.metas = [_to_meta(m) for m in metas]
+
+    def add(self, embeddings: np.ndarray, metas) -> None:
+        """Incremental insert: assign to the nearest centroid and append into
+        that cluster's free slots (centroids stay fixed — standard IVF add).
+        Falls back to a rebuild (fresh k-means) when a cluster overflows."""
+        emb = np.asarray(embeddings, dtype=np.float32)
+        if emb.size == 0:
+            return
+        new_metas = [_to_meta(m) for m in metas]
+        if self._n == 0:
+            self.build(emb, new_metas)
+            return
+        emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
+        assign = np.asarray(jnp.argmax(jax.lax.dot_general(
+            self._put(emb), self._centers, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32), axis=1)).astype(np.int32)
+        counts_after = self._counts.copy()
+        np.add.at(counts_after, assign, 1)
+        if counts_after.max() > self._smax:
+            all_vecs = np.concatenate([self._vectors_host, emb])
+            self.build(all_vecs, self.metas + new_metas)
+            return
+        # Scatter the new rows into (cluster, slot) positions on device.
+        slots = np.empty(len(assign), np.int64)
+        fill = self._counts
+        for i, cl in enumerate(assign):
+            slots[i] = fill[cl]
+            fill[cl] += 1
+        gid0 = self._n
+        cl_idx = self._put(assign.astype(np.int32))
+        sl_idx = self._put(slots.astype(np.int32))
+        self._clusters = self._clusters.at[cl_idx, sl_idx].set(
+            self._put(emb, self.vector_dtype)
+        )
+        self._gids = self._gids.at[cl_idx, sl_idx].set(
+            self._put(np.arange(gid0, gid0 + len(assign), dtype=np.int32))
+        )
+        self._vectors_host = np.concatenate([self._vectors_host, emb])
+        self._n += len(assign)
+        self.metas.extend(new_metas)
+
+    def search_ids(
+        self, query_emb, k: int, n_probe: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self._n == 0:
+            b = np.asarray(query_emb).shape[0]
+            return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
+        c = self._centers.shape[0]
+        n_probe = n_probe or self.n_probe or max(8, c // 16)
+        n_probe = min(n_probe, c)
+        q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
+        if self.device is not None:
+            q = jax.device_put(q, self.device)
+        scores, ids = ivf_search(
+            q, self._centers, self._clusters, self._gids,
+            n_probe=n_probe, k=min(k, self._n),
+            use_pallas=self._use_pallas(),
+        )
+        return np.asarray(scores), np.asarray(ids)
+
+    def search(self, query_emb: np.ndarray, k: int = 3):
+        if np.asarray(query_emb).size == 0 or self._n == 0:
+            return []
+        scores, ids = self.search_ids(np.asarray(query_emb), k)
+        return [
+            (self.metas[int(i)], float(s))
+            for s, i in zip(scores[0], ids[0])
+            if i >= 0
+        ]

@@ -113,6 +113,12 @@ class RAGEngine:
                 dtype=_jnp.bfloat16 if on_tpu else _jnp.float32,
                 exact=not on_tpu,
             )
+        if self.cfg.index_kind == "ivf":
+            from sqe_tpu.index import IVFIndex
+
+            return IVFIndex(
+                embed_dim=self.cfg.model.embed_dim, device=self.device
+            )
         return HNSWIndex(
             self.cfg.hnsw, embed_dim=self.cfg.model.embed_dim, device=self.device
         )

@@ -49,3 +49,20 @@ def test_flat_incremental_upload(engine):
                                namespace="userx")
     assert n >= 1
     assert len(engine.get_index("userx")) == n
+
+
+def test_engine_ivf_kind(small_engine_cfg, cpu_device):
+    """index_kind='ivf' serves end-to-end through the engine."""
+    import asyncio
+
+    from sqe_tpu.data.corpus import Chunk
+    from sqe_tpu.serving.engine import RAGEngine
+
+    cfg = small_engine_cfg.with_overrides(index_kind="ivf")
+    eng = RAGEngine(cfg, device=cpu_device)
+    eng.ingest_chunks([
+        Chunk(f"PMC{i}.txt", 0, f"medical note {i} about enzyme{i}")
+        for i in range(64)
+    ])
+    answer = asyncio.run(eng.ask("enzyme12", chat_id="c1"))
+    assert "Document PMC" in answer
