@@ -80,6 +80,41 @@ def _kmeans_step(vecs: jax.Array, centers: jax.Array, key: jax.Array,
     return jnp.where((counts > 0)[:, None], new_centers, reseed)
 
 
+@functools.partial(jax.jit, static_argnames=("block_n", "rounds"))
+def _balanced_assign(vecs: jax.Array, centers: jax.Array,
+                     block_n: int = 16384, rounds: int = 4,
+                     eta: float = 0.05) -> jax.Array:
+    """Auction-balanced assignment: argmax(sim - penalty[c]) with the penalty
+    growing on over-full clusters across ``rounds``. Bounds the max cluster
+    size (and therefore the padded layout's HBM waste) at a tiny recall cost;
+    cosine sims live in [-1, 1] so ``eta`` is an absolute margin per round."""
+    n = vecs.shape[0]
+    c = centers.shape[0]
+    target = n / c
+
+    def one_round(penalty, _):
+        def body(_, block):
+            s = jax.lax.dot_general(
+                block, centers, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return None, jnp.argmax(s - penalty[None, :], axis=1).astype(jnp.int32)
+
+        _, a = jax.lax.scan(
+            body, None, vecs.reshape(n // block_n, block_n, vecs.shape[1])
+        )
+        a = a.reshape(n)
+        counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), a,
+                                     num_segments=c)
+        penalty = penalty + eta * jnp.maximum(counts / target - 1.0, 0.0)
+        return penalty, a
+
+    penalty, assigns = jax.lax.scan(
+        one_round, jnp.zeros((c,), jnp.float32), None, length=rounds
+    )
+    return assigns[-1]
+
+
 def kmeans_device(
     vecs_dev: jax.Array,      # [N, D] f32 normalized, on device (N % block == 0 not required)
     n_clusters: int,
@@ -276,8 +311,8 @@ class IVFIndex:
             centers_dev = self._put(centers, jnp.float32)
         block = min(16384, n)
         n_trim = (n // block) * block
-        assign = np.asarray(_assign_blocked(vecs_dev[:n_trim],
-                                            centers_dev, block_n=block))
+        assign = np.asarray(_balanced_assign(vecs_dev[:n_trim],
+                                             centers_dev, block_n=block))
         if n_trim < n:
             tail = np.asarray(jnp.argmax(jax.lax.dot_general(
                 vecs_dev[n_trim:], centers_dev, (((1,), (1,)), ((), ())),
@@ -307,6 +342,61 @@ class IVFIndex:
         self._smax = smax
         self._n = n
         self.metas = [_to_meta(m) for m in metas]
+
+    def build_from_device(
+        self,
+        vecs_dev: jax.Array,               # [N, D] f32, already on device, normalized
+        metas: Optional[Sequence[Dict[str, Any] | Chunk]] = None,
+    ) -> None:
+        """Build entirely on device (k-means, cluster assignment, AND the
+        cluster-major layout) — no host round-trip. The serving build path
+        goes through ``build`` (host mirror kept for checkpointing); this is
+        for benchmark/large-N cases where host<->device bandwidth dominates.
+        """
+        n, d = vecs_dev.shape
+        c = self.n_clusters or max(8, int(4 * np.sqrt(n)))
+        c = min(c, n)
+        centers = kmeans_device(vecs_dev, c, iters=self.kmeans_iters,
+                                seed=self.seed)
+        block = min(16384, n)
+        n_trim = (n // block) * block
+        assign = _balanced_assign(vecs_dev[:n_trim], centers, block_n=block)
+        if n_trim < n:
+            tail = jnp.argmax(jax.lax.dot_general(
+                vecs_dev[n_trim:], centers, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32), axis=1).astype(jnp.int32)
+            assign = jnp.concatenate([assign, tail])
+        counts = np.asarray(jax.ops.segment_sum(
+            jnp.ones((n,), jnp.int32), assign, num_segments=c))
+        smax = int(-(-max(1, int(counts.max())) * 5 // 4))
+        smax = ((smax + 127) // 128) * 128
+
+        @functools.partial(jax.jit, static_argnames=("c_", "smax_"))
+        def layout(vecs, assign, c_, smax_):
+            order = jnp.argsort(assign, stable=True)
+            sorted_assign = assign[order]
+            cnt = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), assign,
+                                      num_segments=c_)
+            starts = jnp.cumsum(cnt) - cnt                      # [C]
+            slot = jnp.arange(n, dtype=jnp.int32) - starts[sorted_assign]
+            flat_pos = sorted_assign * smax_ + slot
+            clusters = jnp.zeros((c_ * smax_, vecs.shape[1]), self.vector_dtype)
+            clusters = clusters.at[flat_pos].set(
+                vecs[order].astype(self.vector_dtype))
+            gids = jnp.full((c_ * smax_,), -1, jnp.int32)
+            gids = gids.at[flat_pos].set(order.astype(jnp.int32))
+            return (clusters.reshape(c_, smax_, vecs.shape[1]),
+                    gids.reshape(c_, smax_))
+
+        self._clusters, self._gids = layout(vecs_dev, assign, c, smax)
+        self._centers = centers
+        self._counts = counts.astype(np.int64)
+        self._vectors_host = None
+        self._smax = smax
+        self._n = n
+        self.metas = [_to_meta(m) for m in metas] if metas else [
+            {"doc_id": str(i), "text": ""} for i in range(n)
+        ]
 
     def add(self, embeddings: np.ndarray, metas) -> None:
         """Incremental insert: assign to the nearest centroid and append into

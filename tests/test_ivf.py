@@ -95,3 +95,24 @@ def test_incremental_add_and_overflow_rebuild(data, cpu_device):
     _, ref_i = flat.search_ids(queries, 10)
     _, i = idx.search_ids(queries, 10)
     assert _recall(i, ref_i) >= 0.9
+
+
+def test_build_from_device_matches_host_build(data, cpu_device):
+    """Device-side layout build returns the same search results as the host
+    build at equal centers/probes."""
+    import jax
+    import jax.numpy as jnp
+
+    vecs, queries, metas = data
+    host = IVFIndex(embed_dim=64, n_clusters=32, n_probe=8, seed=7,
+                    device=cpu_device)
+    host.build(vecs[:4096], metas[:4096])
+    dev = IVFIndex(embed_dim=64, n_clusters=32, n_probe=8, seed=7,
+                   device=cpu_device)
+    dev.build_from_device(
+        jax.device_put(jnp.asarray(vecs[:4096]), cpu_device), metas[:4096]
+    )
+    s1, i1 = host.search_ids(queries, 10)
+    s2, i2 = dev.search_ids(queries, 10)
+    np.testing.assert_array_equal(np.sort(i1, 1), np.sort(i2, 1))
+    np.testing.assert_allclose(np.sort(s1, 1), np.sort(s2, 1), atol=1e-5)
