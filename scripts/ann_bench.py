@@ -149,6 +149,7 @@ def run_scale(n, d=1024):
 
             def run(q=q, b=b):
                 s, i = ivf_search(q, idx._centers, idx._clusters, idx._gids,
+                                  idx._counts_dev,
                                   n_probe=n_probe, k=K, use_pallas=True)
                 return np.asarray(s), np.asarray(i)
 
@@ -158,6 +159,7 @@ def run_scale(n, d=1024):
             except Exception as exc:  # noqa: BLE001 (e.g. VMEM overflow at big B)
                 rows[b] = {"error": str(exc)[:160]}
         s, i = ivf_search(gate_q, idx._centers, idx._clusters, idx._gids,
+                          idx._counts_dev,
                           n_probe=n_probe, k=K, use_pallas=True)
         got = exact_scores_for(vecs, gate_q, np.asarray(i))
         rows["recall"] = round(eps_recall(np.asarray(i), ref_s, got), 4)

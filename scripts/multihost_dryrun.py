@@ -1,0 +1,137 @@
+"""Multi-host (DCN) dryrun: the SURVEY §2 'DCN for multi-host scale-out' row.
+
+Launches TWO OS processes that form one JAX distributed system over TCP
+(Gloo — the same wire path a real multi-TPU-host pod uses for DCN
+collectives), builds a global mesh spanning both processes' devices, and runs:
+
+1. the dp x tp sharded contrastive train step (cross-host gradient psum and
+   in-batch-negative all_gather ride DCN), and
+2. the sharded flat retrieval path (per-shard scan + cross-host all_gather
+   top-k merge), checked for exact agreement with a single-process oracle.
+
+The same `shard_map`/NamedSharding code runs unchanged: only the mesh's
+device list changes between ICI (one host) and ICI+DCN (many hosts) — that
+is the entire multi-host story, which is the point of the dryrun.
+
+Run: python scripts/multihost_dryrun.py          (launcher; spawns workers)
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_PROC = 2
+DEV_PER_PROC = 4
+COORD = "127.0.0.1:9923"
+
+
+def worker(proc_id: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={DEV_PER_PROC}"
+    )
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax
+
+    jax.distributed.initialize(coordinator_address=COORD,
+                               num_processes=N_PROC, process_id=proc_id)
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    from sqe_tpu.config import ModelConfig
+    from sqe_tpu.data.tokenizer import HashingTokenizer
+    from sqe_tpu.parallel import make_mesh
+    from sqe_tpu.train import make_sharded_train_step, make_train_state
+
+    n_dev = N_PROC * DEV_PER_PROC
+    devices = jax.devices()
+    assert len(devices) == n_dev, (len(devices), n_dev)
+    tp = 2
+    dp = n_dev // tp
+    mesh = make_mesh((dp, tp), ("dp", "tp"), devices=devices)
+
+    # ---- 1. cross-host sharded training step
+    cfg = ModelConfig(d_model=64, n_layers=2, n_heads=2, d_ff=128, max_len=16,
+                      vocab_size=512, embed_dim=64)
+    state, tx = make_train_state(cfg, lr=1e-3)
+    step_fn, shard_state, batch_sharding = make_sharded_train_step(mesh, cfg, tx)
+    tok = HashingTokenizer(cfg.vocab_size, cfg.max_len)
+    b = 2 * dp
+    q_ids, q_mask = tok.encode_batch([f"query {i}" for i in range(b)])
+    p_ids, p_mask = tok.encode_batch([f"passage {i}" for i in range(b)])
+    batch = {
+        "q_ids": jax.device_put(q_ids, batch_sharding),
+        "q_mask": jax.device_put(q_mask, batch_sharding),
+        "p_ids": jax.device_put(p_ids, batch_sharding),
+        "p_mask": jax.device_put(p_mask, batch_sharding),
+    }
+    _, loss = step_fn(shard_state(state), batch)
+    loss = float(jax.device_get(jax.tree.map(lambda x: x, loss)))
+    assert np.isfinite(loss), loss
+
+    # ---- 2. cross-host sharded retrieval with all_gather merge
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sqe_tpu.index.flat import flat_topk
+
+    retr_mesh = make_mesh((n_dev,), ("shard",), devices=devices)
+    rng = np.random.default_rng(0)
+    n, d, k = 64 * n_dev, 32, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    queries = vecs[:4].copy()
+    s_cap = n // n_dev
+
+    vecs_sharded = jax.device_put(
+        jnp.asarray(vecs), NamedSharding(retr_mesh, P("shard", None)))
+    q_repl = jax.device_put(jnp.asarray(queries), NamedSharding(retr_mesh, P()))
+
+    def local(q, v):
+        shard = jax.lax.axis_index("shard")
+        scores, ids = flat_topk(q, v, jnp.int32(s_cap), k=k, block_n=s_cap,
+                                exact=True)
+        gids = jnp.where(ids >= 0, ids + shard * s_cap, -1)
+        all_s = jax.lax.all_gather(scores, "shard", axis=1, tiled=True)
+        all_i = jax.lax.all_gather(gids, "shard", axis=1, tiled=True)
+        ms, sel = jax.lax.top_k(all_s, k)
+        return ms, jnp.take_along_axis(all_i, sel, axis=1)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=retr_mesh,
+        in_specs=(P(), P("shard", None)), out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    scores, ids = fn(q_repl, vecs_sharded)
+    ids = np.asarray(jax.device_get(ids))
+    ref = np.argsort(-(queries @ vecs.T), axis=1)[:, :k]
+    assert (np.sort(ids, 1) == np.sort(ref, 1)).all(), (ids, ref)
+    if proc_id == 0:
+        print(f"multihost dryrun ok: {N_PROC} processes x {DEV_PER_PROC} "
+              f"devices, dp={dp} tp={tp}, loss={loss:.4f}, "
+              f"retrieval exact-match over DCN", flush=True)
+
+
+def main() -> None:
+    procs = []
+    for pid in range(N_PROC):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), str(pid)],
+            env=env, cwd=REPO,
+            stdout=None if pid == 0 else subprocess.DEVNULL,
+            stderr=subprocess.STDOUT if pid == 0 else subprocess.DEVNULL,
+        ))
+    rcs = [p.wait(timeout=600) for p in procs]
+    assert all(rc == 0 for rc in rcs), rcs
+    print("PASS")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        worker(int(sys.argv[1]))
+    else:
+        main()

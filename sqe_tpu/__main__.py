@@ -5,6 +5,8 @@ Commands:
   build-index   chunk+embed+index a corpus, write a checkpoint, exit
   fit           corpus-adapt the embedder (learned vocab + contrastive spans),
                 save the model into the checkpoint, report retrieval quality
+  router        health-checked failover router over serve replicas
+                (--backends=h1:8000,h2:8000 --port=8080)
   bench         run the headline retrieval benchmark
 
 All commands accept ``--dotted.key=value`` config overrides
@@ -52,6 +54,18 @@ def main(argv=None) -> None:
         print(f"indexed {n} chunks")
     elif command == "fit":
         _fit(argv)
+    elif command == "router":
+        import asyncio
+
+        from sqe_tpu.serving.replica import serve_router
+
+        backends, port = [], 8080
+        for a in argv:
+            if a.startswith("--backends="):
+                backends = a.split("=", 1)[1].split(",")
+            elif a.startswith("--port="):
+                port = int(a.split("=", 1)[1])
+        asyncio.run(serve_router(backends, port=port))
     elif command == "bench":
         import runpy
 

@@ -139,56 +139,95 @@ def kmeans_device(
 # ------------------------------------------------------------ pallas scoring
 
 
-def _ivf_score_kernel(ids_ref, q_ref, clusters_ref, gids_ref, out_ref):
-    """One (query b, probe p) grid step: score the probed cluster block.
+_BQ = 8          # queries per grid step (sublane-aligned block)
+_CHUNK = 512     # cluster rows scored per DMA (bounds VMEM at 8*512*D*2B)
 
-    clusters_ref/gids_ref blocks are selected by the scalar-prefetched probe
-    ids (data-dependent index map); Mosaic double-buffers the HBM->VMEM block
-    fetches across grid steps.
-    """
-    block = clusters_ref[0].astype(jnp.float32)        # [Smax, D]
-    q = q_ref[:].astype(jnp.float32)                   # [1, D]
-    sims = jax.lax.dot_general(
-        block, q, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                  # [Smax, 1]
-    sims = sims.reshape(1, -1)                         # [1, Smax]
-    gid = gids_ref[0].reshape(1, -1)                   # [1, Smax]
-    out_ref[:] = jnp.where(gid >= 0, sims, -jnp.inf)
+
+def round_smax(smax: int) -> int:
+    """Cluster capacity rounding: lane-aligned, and chunk-aligned once the
+    capacity exceeds one kernel chunk (the Pallas scorer DMAs _CHUNK rows at
+    a time)."""
+    if smax > _CHUNK:
+        return -(-smax // _CHUNK) * _CHUNK
+    return -(-smax // 128) * 128
+
+
+def _ivf_score_kernel(ids_ref, counts_ref, q_ref, hbm_ref, out_ref, buf, sems,
+                      *, smax: int):
+    """One grid step = _BQ queries x one probe rank j: DMA each query's probed
+    cluster from HBM in _CHUNK-row slabs (addresses come from the scalar-
+    prefetched probe ids — the gather_dot pattern, ops/gather_dot.py), score
+    on the MXU, and mask pad slots with the scalar-prefetched per-cluster
+    counts (slots fill contiguously, so validity is one iota compare)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ch = min(smax, _CHUNK)
+    n_chunks = smax // ch
+
+    for c0 in range(n_chunks):
+        def dma(q, c0=c0):
+            cluster = ids_ref[i * _BQ + q, j]
+            return pltpu.make_async_copy(
+                hbm_ref.at[cluster, pl.ds(c0 * ch, ch), :],
+                buf.at[pl.ds(q * ch, ch), :],
+                sems.at[q],
+            )
+
+        for q in range(_BQ):
+            dma(q).start()
+        for q in range(_BQ):
+            dma(q).wait()
+        pos = c0 * ch + jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+        for q in range(_BQ):
+            block = buf[pl.ds(q * ch, ch), :].astype(jnp.float32)   # [ch, D]
+            qv = q_ref[pl.ds(q, 1), :].astype(jnp.float32)          # [1, D]
+            sims = jax.lax.dot_general(
+                block, qv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(1, ch)
+            count = counts_ref[ids_ref[i * _BQ + q, j]]
+            sims = jnp.where(pos < count, sims, -jnp.inf)
+            out_ref[pl.ds(q, 1), pl.ds(c0 * ch, ch)] = sims
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ivf_score(
     clusters: jax.Array,    # [C, Smax, D] cluster-major padded vectors
-    member_gids: jax.Array,  # [C, Smax] int32 global ids (-1 pad)
+    counts: jax.Array,      # [C] int32 valid rows per cluster
     probe_ids: jax.Array,   # [B, P] int32
     queries: jax.Array,     # [B, D] f32 normalized
     *,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns masked scores [B, P*Smax] f32 (pad slots are -inf)."""
+    """Returns masked scores [B, P*Smax] f32 (pad slots are -inf).
+    B must be a multiple of _BQ (ivf_search pads)."""
     c, smax, d = clusters.shape
     b, p = probe_ids.shape
+    assert b % _BQ == 0, b
+    ch = min(smax, _CHUNK)
+    assert smax % ch == 0, (smax, ch)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, p),
+        num_scalar_prefetch=2,
+        grid=(b // _BQ, p),
         in_specs=[
-            pl.BlockSpec((1, d), lambda i, j, ids: (i, 0),
+            pl.BlockSpec((_BQ, d), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, smax, d), lambda i, j, ids: (ids[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, smax), lambda i, j, ids: (ids[i, j], 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, smax), lambda i, j, ids: (i, j),
+        out_specs=pl.BlockSpec((_BQ, smax), lambda i, j, *_: (i, j),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_BQ * ch, d), clusters.dtype),
+            pltpu.SemaphoreType.DMA((_BQ,)),
+        ],
     )
+    kernel = functools.partial(_ivf_score_kernel, smax=smax)
     return pl.pallas_call(
-        _ivf_score_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, p * smax), jnp.float32),
         interpret=interpret,
-    )(probe_ids, queries, clusters, member_gids)
+    )(probe_ids, counts, queries, clusters)
 
 
 def ivf_score_xla(clusters, member_gids, probe_ids, queries):
@@ -210,6 +249,7 @@ def ivf_search(
     centers: jax.Array,      # [C, D]
     clusters: jax.Array,     # [C, Smax, D]
     member_gids: jax.Array,  # [C, Smax]
+    counts: jax.Array,       # [C] int32 valid rows per cluster
     *,
     n_probe: int,
     k: int,
@@ -217,7 +257,12 @@ def ivf_search(
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-stage IVF search. Returns (scores [B, k], global ids [B, k])."""
+    b = queries.shape[0]
     qf = queries.astype(jnp.float32)
+    if use_pallas and b % _BQ:
+        qf = jnp.concatenate(
+            [qf, jnp.zeros((_BQ - b % _BQ, qf.shape[1]), jnp.float32)]
+        )
     ps = jax.lax.dot_general(
         qf, centers, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -225,15 +270,15 @@ def ivf_search(
     _, probe_ids = jax.lax.top_k(ps, n_probe)
     probe_ids = probe_ids.astype(jnp.int32)
     if use_pallas:
-        scores = ivf_score(clusters, member_gids, probe_ids, qf,
+        scores = ivf_score(clusters, counts, probe_ids, qf,
                            interpret=interpret)
     else:
         scores = ivf_score_xla(clusters, member_gids, probe_ids, qf)
     top_s, sel = jax.lax.top_k(scores, k)
-    flat_gids = member_gids[probe_ids].reshape(queries.shape[0], -1)
+    flat_gids = member_gids[probe_ids].reshape(qf.shape[0], -1)
     top_i = jnp.take_along_axis(flat_gids, sel, axis=1)
     top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
-    return top_s, top_i
+    return top_s[:b], top_i[:b]
 
 
 # ------------------------------------------------------------------ the index
@@ -270,6 +315,7 @@ class IVFIndex:
         self._clusters: Optional[jax.Array] = None    # [C, Smax, D]
         self._gids: Optional[jax.Array] = None        # [C, Smax] int32
         self._counts: Optional[np.ndarray] = None     # [C] host
+        self._counts_dev: Optional[jax.Array] = None  # [C] int32 device
         self._vectors_host: Optional[np.ndarray] = None
         self._smax = 0
         self._n = 0
@@ -320,10 +366,9 @@ class IVFIndex:
             assign = np.concatenate([assign, tail])
 
         counts = np.bincount(assign, minlength=c)
-        # Capacity: headroom over the fullest cluster, lane-aligned, so
+        # Capacity: headroom over the fullest cluster, chunk/lane-aligned, so
         # incremental adds have slots before a rebuild is forced.
-        smax = int(-(-max(1, counts.max()) * 5 // 4))
-        smax = ((smax + 127) // 128) * 128
+        smax = round_smax(int(-(-max(1, counts.max()) * 5 // 4)))
         clusters = np.zeros((c, smax, emb.shape[1]), np.float32)
         gids = np.full((c, smax), -1, np.int32)
         fill = np.zeros(c, np.int64)
@@ -338,6 +383,7 @@ class IVFIndex:
         self._clusters = self._put(clusters, self.vector_dtype)
         self._gids = self._put(gids)
         self._counts = fill
+        self._counts_dev = self._put(fill.astype(np.int32))
         self._vectors_host = emb
         self._smax = smax
         self._n = n
@@ -368,8 +414,7 @@ class IVFIndex:
             assign = jnp.concatenate([assign, tail])
         counts = np.asarray(jax.ops.segment_sum(
             jnp.ones((n,), jnp.int32), assign, num_segments=c))
-        smax = int(-(-max(1, int(counts.max())) * 5 // 4))
-        smax = ((smax + 127) // 128) * 128
+        smax = round_smax(int(-(-max(1, int(counts.max())) * 5 // 4)))
 
         @functools.partial(jax.jit, static_argnames=("c_", "smax_"))
         def layout(vecs, assign, c_, smax_):
@@ -391,6 +436,7 @@ class IVFIndex:
         self._clusters, self._gids = layout(vecs_dev, assign, c, smax)
         self._centers = centers
         self._counts = counts.astype(np.int64)
+        self._counts_dev = self._put(counts.astype(np.int32))
         self._vectors_host = None
         self._smax = smax
         self._n = n
@@ -434,6 +480,7 @@ class IVFIndex:
         self._gids = self._gids.at[cl_idx, sl_idx].set(
             self._put(np.arange(gid0, gid0 + len(assign), dtype=np.int32))
         )
+        self._counts_dev = self._put(fill.astype(np.int32))
         self._vectors_host = np.concatenate([self._vectors_host, emb])
         self._n += len(assign)
         self.metas.extend(new_metas)
@@ -451,7 +498,7 @@ class IVFIndex:
         if self.device is not None:
             q = jax.device_put(q, self.device)
         scores, ids = ivf_search(
-            q, self._centers, self._clusters, self._gids,
+            q, self._centers, self._clusters, self._gids, self._counts_dev,
             n_probe=n_probe, k=min(k, self._n),
             use_pallas=self._use_pallas(),
         )

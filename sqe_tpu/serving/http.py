@@ -223,6 +223,7 @@ class Server:
         self.host = host
         self.port = port
         self._server: Optional[asyncio.AbstractServer] = None
+        self._conns: set = set()
 
     async def start(self) -> None:
         self._server = await asyncio.start_server(
@@ -231,6 +232,17 @@ class Server:
         log.info("listening on %s:%d", self.host, self.port)
 
     async def stop(self) -> None:
+        # Close live keep-alive connections BEFORE wait_closed(): since
+        # Python 3.12 wait_closed() also waits for all connection handlers,
+        # and an idle keep-alive handler never finishes on its own — a
+        # stopped server must not hang itself (or leave clients / a failover
+        # router hanging on pooled sockets).
+        for writer in list(self._conns):
+            try:
+                writer.close()
+            except Exception:  # noqa: BLE001
+                pass
+        self._conns.clear()
         if self._server is not None:
             self._server.close()
             await self._server.wait_closed()
@@ -269,6 +281,7 @@ class Server:
     async def _handle_conn(
         self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
     ) -> None:
+        self._conns.add(writer)
         try:
             while True:
                 parsed = await self._read_request(reader)
@@ -305,6 +318,7 @@ class Server:
         except (ConnectionResetError, BrokenPipeError):
             pass
         finally:
+            self._conns.discard(writer)
             try:
                 writer.close()
                 await writer.wait_closed()

@@ -48,7 +48,7 @@ def test_pallas_kernel_parity_interpret(data):
     rng = np.random.default_rng(3)
     probe = rng.integers(0, 32, size=(8, 4)).astype(np.int32)
     q = jnp.asarray(queries[:8])
-    got = ivf_score(idx._clusters, idx._gids, jnp.asarray(probe), q,
+    got = ivf_score(idx._clusters, idx._counts_dev, jnp.asarray(probe), q,
                     interpret=True)
     want = ivf_score_xla(idx._clusters, idx._gids, jnp.asarray(probe), q)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
