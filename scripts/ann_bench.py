@@ -52,14 +52,31 @@ def gen_device(key, n, d, n_centers=1024, spread=0.25):
     return gen()
 
 
-def time_search(fn, reps=REPS):
-    fn()  # compile + warm
+def _sync(out):
+    np.asarray(out[0])
+
+
+def time_search(fn_dev, reps=REPS, pipeline=8):
+    """(e2e_s, device_s): e2e = dispatch+execute+sync per call (the tunnel
+    adds ~29 ms dispatch + sync overhead); device = per-call time with
+    ``pipeline`` calls in flight and ONE sync (device work serializes on the
+    stream, so this is the true device-side batch latency)."""
+    _sync(fn_dev())  # compile + warm
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        fn()
+        _sync(fn_dev())
         times.append(time.perf_counter() - t0)
-    return min(times)
+    e2e = min(times)
+    dev_times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(pipeline):
+            out = fn_dev()
+        _sync(out)
+        dev_times.append((time.perf_counter() - t0) / pipeline)
+    return e2e, min(dev_times)
 
 
 def eps_recall(ids, ref_scores, got_scores_exact, k=K, eps=1e-5):
@@ -117,13 +134,14 @@ def run_scale(n, d=1024):
             q = queries[:b]
 
             def run(q=q, b=b):
-                s, i = flat_topk(q, vecs_bf16, jnp.int32(n), k=K,
+                return flat_topk(q, vecs_bf16, jnp.int32(n), k=K,
                                  block_n=min(131072, n), exact=False,
                                  approx_topk=approx)
-                return np.asarray(s), np.asarray(i)
 
-            dt = time_search(run)
-            rows[b] = {"ms": round(dt * 1e3, 2), "qps": round(b / dt)}
+            e2e, dev = time_search(run)
+            rows[b] = {"e2e_ms": round(e2e * 1e3, 2),
+                       "dev_ms": round(dev * 1e3, 2),
+                       "qps": round(b / dev)}
         # recall gate at the gate batch
         s, i = flat_topk(gate_q, vecs_bf16, jnp.int32(n), k=K,
                          block_n=min(131072, n), exact=False,
@@ -133,7 +151,8 @@ def run_scale(n, d=1024):
         out[name] = rows
         log(f"{name}: {json.dumps(rows)}")
 
-    # ---- IVF
+    # ---- IVF (free the scan's bf16 copy first: HBM budget at 1M)
+    vecs_bf16.delete()
     idx = IVFIndex(embed_dim=d, vector_dtype=jnp.bfloat16, kmeans_iters=10,
                    seed=3)
     t0 = time.perf_counter()
@@ -148,14 +167,15 @@ def run_scale(n, d=1024):
             q = queries[:b]
 
             def run(q=q, b=b):
-                s, i = ivf_search(q, idx._centers, idx._clusters, idx._gids,
+                return ivf_search(q, idx._centers, idx._clusters, idx._gids,
                                   idx._counts_dev,
                                   n_probe=n_probe, k=K, use_pallas=True)
-                return np.asarray(s), np.asarray(i)
 
             try:
-                dt = time_search(run)
-                rows[b] = {"ms": round(dt * 1e3, 2), "qps": round(b / dt)}
+                e2e, dev = time_search(run)
+                rows[b] = {"e2e_ms": round(e2e * 1e3, 2),
+                           "dev_ms": round(dev * 1e3, 2),
+                           "qps": round(b / dev)}
             except Exception as exc:  # noqa: BLE001 (e.g. VMEM overflow at big B)
                 rows[b] = {"error": str(exc)[:160]}
         s, i = ivf_search(gate_q, idx._centers, idx._clusters, idx._gids,

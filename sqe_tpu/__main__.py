@@ -54,6 +54,8 @@ def main(argv=None) -> None:
         print(f"indexed {n} chunks")
     elif command == "fit":
         _fit(argv)
+    elif command == "fit-lm":
+        _fit_lm(argv)
     elif command == "router":
         import asyncio
 
@@ -73,6 +75,75 @@ def main(argv=None) -> None:
     else:
         print(__doc__)
         sys.exit(2)
+
+
+def _fit_lm(argv: list) -> None:
+    """Train the on-TPU generation LM on the corpus and persist it under
+    <checkpoint_dir>/lm; serve picks it up with --generation=tpu."""
+    import json
+    import os
+
+    from sqe_tpu.config import EngineConfig, cli_overrides
+    from sqe_tpu.data.corpus import load_corpus
+    from sqe_tpu.data.tokenizer import (
+        VocabTokenizer,
+        tokenizer_from_dict,
+        tokenizer_to_dict,
+    )
+    from sqe_tpu.models.decoder import DecoderConfig
+    from sqe_tpu.train.lm import fit_lm
+    from sqe_tpu.utils import checkpoint as ckpt
+
+    flags = {"lm_steps": 3000, "lm_lr": 3e-4, "lm_batch": 32,
+             "lm_seq_len": 256, "lm_d_model": 384, "lm_layers": 4,
+             "lm_heads": 6, "lm_d_ff": 1536}
+    remaining = []
+    for arg in argv:
+        key, _, raw = arg.lstrip("-").partition("=")
+        if key in flags and arg.startswith("--"):
+            flags[key] = type(flags[key])(raw)
+        else:
+            remaining.append(arg)
+    cfg = cli_overrides(EngineConfig.from_env(), remaining)
+    assert cfg.checkpoint_dir, "fit-lm requires --checkpoint_dir=..."
+
+    chunks = load_corpus(cfg.corpus_dir, cfg.chunk_size)
+    assert chunks, f"no corpus text under {cfg.corpus_dir}"
+    print(f"corpus: {len(chunks)} chunks from {cfg.corpus_dir}")
+
+    # Share the embedder's learned vocabulary when one is checkpointed so the
+    # whole stack tokenizes identically.
+    emb_model = ckpt.load_model(cfg.checkpoint_dir)
+    if emb_model is not None and emb_model["tokenizer_state"] is not None:
+        ts = emb_model["tokenizer_state"]
+        tokenizer = tokenizer_from_dict(ts, int(ts["vocab_size"]),
+                                        int(ts["max_len"]))
+        print(f"reusing embedder vocabulary ({len(tokenizer.vocab)} words)")
+    else:
+        tokenizer = VocabTokenizer.train(
+            [c.text for c in chunks], cfg.model.vocab_size, cfg.model.max_len
+        )
+        print(f"trained LM vocabulary ({len(tokenizer.vocab)} words)")
+
+    dcfg = DecoderConfig(
+        vocab_size=tokenizer.vocab_size,
+        d_model=flags["lm_d_model"], n_layers=flags["lm_layers"],
+        n_heads=flags["lm_heads"], d_ff=flags["lm_d_ff"],
+        max_len=max(flags["lm_seq_len"] * 4, 1024),
+    )
+    params, losses = fit_lm(
+        chunks, dcfg, tokenizer, steps=flags["lm_steps"],
+        batch_size=flags["lm_batch"], seq_len=flags["lm_seq_len"],
+        lr=flags["lm_lr"],
+    )
+    print(f"lm fit: {len(losses)} steps, loss {losses[0]:.3f} -> {losses[-1]:.3f}")
+    lm_dir = os.path.join(cfg.checkpoint_dir, "lm")
+    ckpt.save_model(lm_dir, params, dcfg.to_dict(),
+                    tokenizer_state=tokenizer_to_dict(tokenizer))
+    print(f"lm saved to {lm_dir}")
+    with open(os.path.join(lm_dir, "lm_fit.json"), "w") as f:
+        json.dump({"losses_head": losses[:3], "losses_tail": losses[-3:],
+                   "steps": len(losses)}, f)
 
 
 def _fit(argv: list) -> None:

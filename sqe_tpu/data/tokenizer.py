@@ -265,3 +265,7 @@ def tokenizer_from_dict(d: Optional[dict], vocab_size: int, max_len: int):
 
 def tokenizer_to_dict(tok) -> Optional[dict]:
     return tok.to_dict() if isinstance(tok, VocabTokenizer) else None
+
+
+def build_inverse_vocab(tok: "VocabTokenizer") -> Dict[int, str]:
+    return {tid: w for w, tid in tok.vocab.items()}

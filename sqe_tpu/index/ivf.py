@@ -82,17 +82,24 @@ def _kmeans_step(vecs: jax.Array, centers: jax.Array, key: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("block_n", "rounds"))
 def _balanced_assign(vecs: jax.Array, centers: jax.Array,
-                     block_n: int = 16384, rounds: int = 4,
-                     eta: float = 0.05) -> jax.Array:
-    """Auction-balanced assignment: argmax(sim - penalty[c]) with the penalty
-    growing on over-full clusters across ``rounds``. Bounds the max cluster
-    size (and therefore the padded layout's HBM waste) at a tiny recall cost;
-    cosine sims live in [-1, 1] so ``eta`` is an absolute margin per round."""
+                     block_n: int = 16384, rounds: int = 8,
+                     eta: float = 0.02, cap_factor: float = 2.5) -> jax.Array:
+    """Capacity-bounded assignment: argmax(sim - penalty[c]) with the penalty
+    growing gently on over-full clusters across ``rounds``. The FIRST round
+    whose max cluster size fits ``cap_factor * mean`` wins — the least
+    distorted assignment that bounds the padded layout's HBM waste (recall
+    degrades with distortion: rows pushed off their best centroid are only
+    found by probing deeper). If no round fits, the min-max round wins.
+    Penalties oscillate, so taking the last round is NOT monotone (measured
+    45x padding blowup with aggressive eta)."""
     n = vecs.shape[0]
     c = centers.shape[0]
     target = n / c
+    bound = cap_factor * target
 
-    def one_round(penalty, _):
+    def one_round(carry, _):
+        penalty, chosen, chosen_assign, best_max, best_assign = carry
+
         def body(_, block):
             s = jax.lax.dot_general(
                 block, centers, (((1,), (1,)), ((), ())),
@@ -106,13 +113,23 @@ def _balanced_assign(vecs: jax.Array, centers: jax.Array,
         a = a.reshape(n)
         counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), a,
                                      num_segments=c)
+        maxc = jnp.max(counts)
+        take = (~chosen) & (maxc <= bound)
+        chosen_assign = jnp.where(take, a, chosen_assign)
+        chosen = chosen | take
+        better = maxc < best_max
+        best_assign = jnp.where(better, a, best_assign)
+        best_max = jnp.minimum(maxc, best_max)
         penalty = penalty + eta * jnp.maximum(counts / target - 1.0, 0.0)
-        return penalty, a
+        return (penalty, chosen, chosen_assign, best_max, best_assign), None
 
-    penalty, assigns = jax.lax.scan(
-        one_round, jnp.zeros((c,), jnp.float32), None, length=rounds
+    init = (jnp.zeros((c,), jnp.float32), jnp.bool_(False),
+            jnp.zeros((n,), jnp.int32), jnp.float32(jnp.inf),
+            jnp.zeros((n,), jnp.int32))
+    (_, chosen, chosen_assign, _, best_assign), _ = jax.lax.scan(
+        one_round, init, None, length=rounds
     )
-    return assigns[-1]
+    return jnp.where(chosen, chosen_assign, best_assign)
 
 
 def kmeans_device(
@@ -259,10 +276,6 @@ def ivf_search(
     """Two-stage IVF search. Returns (scores [B, k], global ids [B, k])."""
     b = queries.shape[0]
     qf = queries.astype(jnp.float32)
-    if use_pallas and b % _BQ:
-        qf = jnp.concatenate(
-            [qf, jnp.zeros((_BQ - b % _BQ, qf.shape[1]), jnp.float32)]
-        )
     ps = jax.lax.dot_general(
         qf, centers, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -270,8 +283,27 @@ def ivf_search(
     _, probe_ids = jax.lax.top_k(ps, n_probe)
     probe_ids = probe_ids.astype(jnp.int32)
     if use_pallas:
-        scores = ivf_score(clusters, counts, probe_ids, qf,
-                           interpret=interpret)
+        if b == 1 and n_probe % _BQ == 0:
+            # Latency path: spread the single query's probes across the
+            # kernel's 8 sublane slots instead of padding with dead queries —
+            # 8x less wasted DMA, sequential probe depth P/8.
+            q8 = jnp.broadcast_to(qf, (_BQ, qf.shape[1]))
+            p8 = probe_ids.reshape(_BQ, n_probe // _BQ)
+            scores = ivf_score(clusters, counts, p8, q8,
+                               interpret=interpret).reshape(1, -1)
+        else:
+            if b % _BQ:
+                qf_pad = jnp.concatenate(
+                    [qf, jnp.zeros((_BQ - b % _BQ, qf.shape[1]), jnp.float32)]
+                )
+                probe_pad = jnp.concatenate(
+                    [probe_ids,
+                     jnp.zeros((_BQ - b % _BQ, n_probe), jnp.int32)]
+                )
+            else:
+                qf_pad, probe_pad = qf, probe_ids
+            scores = ivf_score(clusters, counts, probe_pad, qf_pad,
+                               interpret=interpret)[:b]
     else:
         scores = ivf_score_xla(clusters, member_gids, probe_ids, qf)
     top_s, sel = jax.lax.top_k(scores, k)
@@ -426,8 +458,10 @@ class IVFIndex:
             slot = jnp.arange(n, dtype=jnp.int32) - starts[sorted_assign]
             flat_pos = sorted_assign * smax_ + slot
             clusters = jnp.zeros((c_ * smax_, vecs.shape[1]), self.vector_dtype)
+            # Cast BEFORE the gather: halves the temporary's HBM footprint
+            # when the storage dtype is bf16.
             clusters = clusters.at[flat_pos].set(
-                vecs[order].astype(self.vector_dtype))
+                vecs.astype(self.vector_dtype)[order])
             gids = jnp.full((c_ * smax_,), -1, jnp.int32)
             gids = gids.at[flat_pos].set(order.astype(jnp.int32))
             return (clusters.reshape(c_, smax_, vecs.shape[1]),

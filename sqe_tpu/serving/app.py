@@ -221,8 +221,17 @@ def main(argv: Optional[list] = None) -> None:
     from sqe_tpu.config import cli_overrides
 
     argv = argv if argv is not None else sys.argv[1:]
+    gen_kind = os.getenv("SQE_GENERATION", "echo")
+    argv = list(argv)
+    for arg in list(argv):
+        if arg.startswith("--generation="):
+            gen_kind = arg.split("=", 1)[1]
+            argv.remove(arg)
     cfg = cli_overrides(EngineConfig.from_env(), argv)
-    engine = RAGEngine(cfg)
+    from sqe_tpu.serving.generation import build_backend
+
+    backend = build_backend(gen_kind, checkpoint_dir=cfg.checkpoint_dir)
+    engine = RAGEngine(cfg, backend=backend)
     if not engine.load_checkpoint():
         engine.build_from_corpus()
         if cfg.checkpoint_dir:

@@ -200,3 +200,162 @@ class OpenAIStreamBackend:
                 return None
             parts.append(chunk)
         return "".join(parts).strip() or None
+
+
+class TPUDecoderBackend:
+    """On-TPU generation: the corpus-trained causal LM (models/decoder.py)
+    replaces the external LLM call, so embed -> retrieve -> generate all run
+    on the serving chip with zero egress. The decode loop is a KV-cache
+    prefill plus one jitted step per token; streaming yields one word per
+    step, matching the reference's per-token WS frames (app/main.py:717-722).
+
+    This is a capability/infrastructure backend: a small word-level LM
+    trained on 100 MB of PMC text is topical, not GPT-4o. Deployments with an
+    external LLM keep using HTTPChatBackend / OpenAIStreamBackend.
+    """
+
+    def __init__(self, params, cfg, tokenizer, device=None,
+                 max_new_tokens: int = 96, temperature: float = 0.7,
+                 top_k: int = 40, seed: int = 0):
+        import jax
+
+        from sqe_tpu.data.tokenizer import build_inverse_vocab
+
+        self.cfg = cfg
+        self.device = device
+        self.params = jax.device_put(params, device) if device else params
+        self.tokenizer = tokenizer
+        self.inverse = build_inverse_vocab(tokenizer)
+        self.max_new_tokens = max_new_tokens
+        self.temperature = temperature
+        self.top_k = top_k
+        self._key = jax.random.PRNGKey(seed)
+        self._lock = asyncio.Lock()   # one decode loop at a time per cache
+
+    def _decode_sync(self, prompt: str, emit) -> None:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sqe_tpu.data.tokenizer import PAD_ID
+        from sqe_tpu.models.decoder import (
+            decode_step,
+            init_kv_cache,
+            prefill,
+            sample_token,
+        )
+
+        toks = self.tokenizer.tokenize(prompt)
+        budget = self.cfg.max_len - self.max_new_tokens - 1
+        toks = toks[-budget:]                      # keep the prompt tail
+        length = len(toks)
+        ids = np.zeros((1, budget), np.int32)
+        ids[0, :length] = toks
+        cache = init_kv_cache(self.cfg, batch=1)
+        cache, logits = prefill(self.params, jnp.asarray(ids), cache,
+                                jnp.asarray([length], jnp.int32), cfg=self.cfg)
+        pos = length
+        for _ in range(self.max_new_tokens):
+            self._key, sub = jax.random.split(self._key)
+            token = sample_token(logits, sub, self.temperature, self.top_k)
+            tid = int(np.asarray(token)[0])
+            if tid == PAD_ID:
+                break
+            word = self.inverse.get(tid)
+            if word is not None:
+                emit(word + " ")
+            cache, logits = decode_step(
+                self.params, jnp.asarray([tid], jnp.int32), cache,
+                jnp.asarray([pos], jnp.int32), cfg=self.cfg,
+            )
+            pos += 1
+            if pos >= self.cfg.max_len:
+                break
+
+    async def generate(self, prompt: str, system_msg: str = "") -> Optional[str]:
+        chunks: list = []
+        try:
+            async with self._lock:
+                await asyncio.to_thread(
+                    self._decode_sync, system_msg + "\n" + prompt, chunks.append
+                )
+        except Exception as exc:  # noqa: BLE001 — None-on-failure contract
+            log.error("tpu decode failed: %s", exc)
+            return None
+        text = "".join(chunks).strip()
+        return text or None
+
+    async def stream(self, prompt: str, system_msg: str = "") -> AsyncGenerator[str, None]:
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+        DONE = object()
+
+        def emit(word: str) -> None:
+            loop.call_soon_threadsafe(queue.put_nowait, word)
+
+        async with self._lock:
+            task = asyncio.create_task(asyncio.to_thread(
+                self._decode_sync, system_msg + "\n" + prompt, emit
+            ))
+            task.add_done_callback(
+                lambda _t: loop.call_soon_threadsafe(queue.put_nowait, DONE)
+            )
+            while True:
+                item = await queue.get()
+                if item is DONE:
+                    break
+                yield item
+            exc = task.exception()
+            if exc is not None:
+                log.error("tpu decode stream failed: %s", exc)
+                yield f"[ERROR] {exc}"
+
+
+def build_backend(kind: str, checkpoint_dir: Optional[str] = None,
+                  device=None):
+    """Construct a generation backend by name (the serve CLI's
+    ``--generation=`` flag / SQE_GENERATION env):
+
+    - ``echo``   offline deterministic citations (default; zero egress)
+    - ``tpu``    corpus-trained on-chip decoder (requires a ``fit-lm``
+                 checkpoint under ``<checkpoint_dir>/lm``)
+    - ``http``   BlueHive-compatible POST (BLUEHIVEAI_URL / _BEARER_TOKEN,
+                 reference app/main.py:25-27)
+    - ``openai`` OpenAI-compatible SSE stream (OPENAI_API_KEY / _BASE_URL /
+                 _MODEL, reference app/main.py:611-647)
+    """
+    import os
+
+    if kind == "echo" or not kind:
+        return EchoBackend()
+    if kind == "http":
+        return HTTPChatBackend(
+            os.getenv("BLUEHIVEAI_URL", ""),
+            bearer_token=os.getenv("BLUEHIVE_BEARER_TOKEN", ""),
+        )
+    if kind == "openai":
+        return OpenAIStreamBackend(
+            os.getenv("OPENAI_API_KEY", ""),
+            model=os.getenv("OPENAI_MODEL", "gpt-4o"),
+            base_url=os.getenv("OPENAI_BASE_URL", "https://api.openai.com/v1"),
+        )
+    if kind == "tpu":
+        import os.path
+
+        from sqe_tpu.data.tokenizer import tokenizer_from_dict
+        from sqe_tpu.models.decoder import DecoderConfig, decoder_params_from_leaves
+        from sqe_tpu.utils import checkpoint as ckpt
+
+        assert checkpoint_dir, "--generation=tpu needs --checkpoint_dir"
+        lm_dir = os.path.join(checkpoint_dir, "lm")
+        state = ckpt.load_model(lm_dir)
+        assert state is not None, (
+            f"no LM checkpoint under {lm_dir}; run 'python -m sqe_tpu fit-lm'"
+        )
+        cfg = DecoderConfig(**state["model_cfg"])
+        params = decoder_params_from_leaves(cfg, state["leaves"])
+        tokenizer = tokenizer_from_dict(
+            state["tokenizer_state"], cfg.vocab_size, cfg.max_len
+        )
+        return TPUDecoderBackend(params, cfg, tokenizer, device=device)
+    raise ValueError(f"unknown generation backend {kind!r}")

@@ -1,0 +1,124 @@
+"""Corpus language-model training for the on-TPU generation backend.
+
+The reference's generation is an external LLM (BlueHive / GPT-4o,
+app/main.py:183-242, :611-647); this trains a small word-level causal LM on
+the corpus so the whole RAG loop — embed, retrieve, generate — can run on the
+serving chip with zero external calls (the ``TPUDecoderBackend``). The LM is
+a capability demonstration of the decode infrastructure (KV-cache prefill +
+per-token jitted steps), not a GPT-4-class model.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sqe_tpu.data.corpus import Chunk
+from sqe_tpu.data.tokenizer import PAD_ID
+from sqe_tpu.models.decoder import DecoderConfig, decoder_forward, init_decoder_params
+from sqe_tpu.utils.logging import get_logger
+
+log = get_logger("train.lm")
+
+
+def lm_batches(
+    chunks: Sequence[Chunk],
+    tokenizer,
+    batch_size: int = 32,
+    seq_len: int = 256,
+    seed: int = 0,
+    epochs: int = 1,
+) -> Iterator[np.ndarray]:
+    """Yields [B, seq_len+1] int32 token windows (PAD-terminated, so PAD acts
+    as the EOS the sampler stops on)."""
+    rng = np.random.default_rng(seed)
+    token_rows = []
+    for c in chunks:
+        toks = tokenizer.tokenize(c.text)
+        if len(toks) >= 4:
+            token_rows.append(np.asarray(toks, np.int32))
+    if not token_rows:
+        return
+    # The fill batch persists across epochs (a tiny corpus may need several
+    # epochs to fill one batch) and flushes at the end.
+    batch = np.zeros((batch_size, seq_len + 1), np.int32)
+    row = 0
+    for _ in range(epochs):
+        order = rng.permutation(len(token_rows))
+        for r in order:
+            toks = token_rows[r]
+            if len(toks) > seq_len:
+                start = int(rng.integers(0, len(toks) - seq_len))
+                window = toks[start : start + seq_len + 1]
+            else:
+                window = toks
+            batch[row, : len(window)] = window
+            # remaining positions stay PAD: the model learns to emit PAD=EOS
+            row += 1
+            if row == batch_size:
+                yield batch
+                batch = np.zeros((batch_size, seq_len + 1), np.int32)
+                row = 0
+    if row:
+        yield batch   # partial final batch (pad rows carry zero loss weight)
+
+
+def lm_loss(params, ids: jax.Array, *, cfg: DecoderConfig) -> jax.Array:
+    """Next-token CE; positions after the first PAD-after-text are masked
+    except the FIRST pad (the EOS target)."""
+    inputs, targets = ids[:, :-1], ids[:, 1:]
+    logits = decoder_forward(params, inputs, cfg=cfg)
+    real = (targets != PAD_ID)
+    # include one EOS position per row: a PAD whose predecessor is real
+    eos = (targets == PAD_ID) & (inputs != PAD_ID)
+    weight = (real | eos).astype(jnp.float32)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+    return jnp.sum(ce * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+
+
+def fit_lm(
+    chunks: Sequence[Chunk],
+    cfg: DecoderConfig,
+    tokenizer,
+    *,
+    steps: int = 2000,
+    batch_size: int = 32,
+    seq_len: int = 256,
+    lr: float = 3e-4,
+    seed: int = 0,
+    log_every: int = 100,
+) -> Tuple[dict, List[float]]:
+    params = init_decoder_params(cfg, jax.random.PRNGKey(seed))
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.warmup_cosine_decay_schedule(
+            0.0, lr, max(1, steps // 20), steps, lr * 0.05)),
+    )
+    opt_state = tx.init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, ids):
+        loss, grads = jax.value_and_grad(
+            functools.partial(lm_loss, cfg=cfg))(params, ids)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses: List[float] = []
+    t0 = time.perf_counter()
+    batches = lm_batches(chunks, tokenizer, batch_size=batch_size,
+                         seq_len=seq_len, seed=seed, epochs=max(1, steps))
+    for i, batch in enumerate(batches):
+        if i >= steps:
+            break
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(batch))
+        losses.append(float(loss))
+        if (i + 1) % log_every == 0 or i == 0:
+            log.info("lm step %d/%d loss %.4f (%.1fs)", i + 1, steps,
+                     losses[-1], time.perf_counter() - t0)
+    return params, losses

@@ -1,0 +1,114 @@
+"""Decoder LM: KV-cache decode parity, LM training, on-TPU backend contract."""
+
+import asyncio
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sqe_tpu.data.corpus import Chunk
+from sqe_tpu.data.tokenizer import PAD_ID, VocabTokenizer
+from sqe_tpu.models.decoder import (
+    DecoderConfig,
+    decode_step,
+    decoder_forward,
+    init_decoder_params,
+    init_kv_cache,
+    prefill,
+    sample_token,
+)
+
+CFG = DecoderConfig(vocab_size=256, d_model=64, n_layers=2, n_heads=2,
+                    d_ff=128, max_len=32, dtype="float32")
+
+
+def test_kv_cache_matches_full_forward():
+    """Greedy decode through prefill+decode_step must equal greedy decode by
+    full-forward recompute at every step (the KV cache is exact, not an
+    approximation)."""
+    params = init_decoder_params(CFG, jax.random.PRNGKey(1))
+    prompt = np.array([[5, 9, 17, 3]], np.int32)
+    length = prompt.shape[1]
+
+    # Oracle: grow the sequence, full forward each step, take argmax.
+    seq = prompt.copy()
+    oracle_tokens = []
+    for _ in range(6):
+        logits = decoder_forward(params, jnp.asarray(seq), cfg=CFG)
+        nxt = int(np.asarray(jnp.argmax(logits[0, -1])))
+        oracle_tokens.append(nxt)
+        seq = np.concatenate([seq, [[nxt]]], axis=1)
+
+    # KV-cache path.
+    ids = np.zeros((1, 16), np.int32)
+    ids[0, :length] = prompt[0]
+    cache = init_kv_cache(CFG, batch=1)
+    cache, logits = prefill(params, jnp.asarray(ids), cache,
+                            jnp.asarray([length], np.int32), cfg=CFG)
+    got_tokens = []
+    pos = length
+    for _ in range(6):
+        nxt = int(np.asarray(jnp.argmax(logits[0])))
+        got_tokens.append(nxt)
+        cache, logits = decode_step(params, jnp.asarray([nxt], jnp.int32),
+                                    cache, jnp.asarray([pos], jnp.int32),
+                                    cfg=CFG)
+        pos += 1
+
+    assert got_tokens == oracle_tokens
+
+
+def test_sample_token_modes():
+    logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0]])
+    key = jax.random.PRNGKey(0)
+    assert int(sample_token(logits, key, 0.0, top_k=3)[0]) == 1  # greedy
+    # sampling stays within top-k support
+    for i in range(5):
+        t = int(sample_token(logits, jax.random.PRNGKey(i), 1.0, top_k=2)[0])
+        assert t in (1, 2)
+
+
+@pytest.fixture(scope="module")
+def tiny_lm():
+    """Train a tiny LM on a looping corpus so next-word structure is learnable."""
+    from sqe_tpu.train.lm import fit_lm
+
+    text = " ".join(["alpha beta gamma delta epsilon"] * 40)
+    chunks = [Chunk(f"d{i}", 0, text) for i in range(8)]
+    tok = VocabTokenizer.train([text], vocab_size=64, max_len=64, hash_tail=8)
+    cfg = DecoderConfig(vocab_size=64, d_model=64, n_layers=2, n_heads=2,
+                        d_ff=128, max_len=64, dtype="float32")
+    params, losses = fit_lm(chunks, cfg, tok, steps=60, batch_size=8,
+                            seq_len=24, lr=3e-3)
+    return params, losses, cfg, tok
+
+
+def test_fit_lm_learns(tiny_lm):
+    params, losses, cfg, tok = tiny_lm
+    assert losses[-1] < losses[0] * 0.5
+    # the cycle is deterministic: greedy continuation of "alpha beta" is "gamma"
+    ids = np.zeros((1, 8), np.int32)
+    toks = tok.tokenize("alpha beta")
+    ids[0, :len(toks)] = toks
+    cache = init_kv_cache(cfg, batch=1)
+    _, logits = prefill(params, jnp.asarray(ids), cache,
+                        jnp.asarray([len(toks)], np.int32), cfg=cfg)
+    nxt = int(np.asarray(jnp.argmax(logits[0])))
+    assert nxt == tok.tokenize("gamma")[0]
+
+
+def test_tpu_decoder_backend_contract(tiny_lm):
+    from sqe_tpu.serving.generation import TPUDecoderBackend
+
+    params, _losses, cfg, tok = tiny_lm
+    backend = TPUDecoderBackend(params, cfg, tok, temperature=0.0,
+                                max_new_tokens=8)
+    answer = asyncio.run(backend.generate("alpha beta"))
+    assert answer and answer.split()[0] == "gamma"
+
+    async def collect():
+        return [c async for c in backend.stream("alpha beta")]
+
+    chunks = asyncio.run(collect())
+    assert chunks and chunks[0].strip() == "gamma"
