@@ -160,7 +160,8 @@ def run_scale(n, d=1024):
     np.asarray(idx._gids[0, 0])
     c = idx._centers.shape[0]
     log(f"ivf build: {time.perf_counter()-t0:.1f}s  C={c} Smax={idx._smax} "
-        f"pad_waste={c*idx._smax/n:.2f}x")
+        f"cluster_mem={c*idx._smax/n:.2f}x ovf={idx._ovf_n/n:.3f} "
+        f"(o_cap={idx._ovf_vecs.shape[0]})")
     for n_probe in (8, 16, 32):
         rows = {"n_probe": n_probe, "C": c, "Smax": idx._smax}
         for b in BATCHES:

@@ -267,6 +267,9 @@ def ivf_search(
     clusters: jax.Array,     # [C, Smax, D]
     member_gids: jax.Array,  # [C, Smax]
     counts: jax.Array,       # [C] int32 valid rows per cluster
+    ovf_vecs: Optional[jax.Array] = None,   # [O_cap, D] overflow block
+    ovf_gids: Optional[jax.Array] = None,   # [O_cap] int32 (-1 pad)
+    ovf_n: Optional[jax.Array] = None,      # scalar int32 valid overflow rows
     *,
     n_probe: int,
     k: int,
@@ -310,7 +313,28 @@ def ivf_search(
     flat_gids = member_gids[probe_ids].reshape(qf.shape[0], -1)
     top_i = jnp.take_along_axis(flat_gids, sel, axis=1)
     top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
-    return top_s[:b], top_i[:b]
+    top_s, top_i = top_s[:b], top_i[:b]
+    if ovf_vecs is not None and ovf_vecs.shape[0]:
+        # Guaranteed-visibility overflow: rows that didn't fit their
+        # cluster's capacity live in a small flat block that is ALWAYS
+        # scanned exactly — capping cluster memory costs no recall.
+        from sqe_tpu.index.flat import flat_topk
+
+        o_cap = ovf_vecs.shape[0]
+        ovf_s, ovf_local = flat_topk(
+            queries.astype(jnp.float32), ovf_vecs, ovf_n, k=min(k, o_cap),
+            block_n=o_cap, exact=False,
+        )
+        ovf_i = jnp.where(
+            ovf_local >= 0, jnp.take(ovf_gids, jnp.maximum(ovf_local, 0)), -1
+        )
+        ovf_s = jnp.where(ovf_i >= 0, ovf_s, -jnp.inf)
+        all_s = jnp.concatenate([top_s, ovf_s], axis=1)
+        all_i = jnp.concatenate([top_i, ovf_i], axis=1)
+        top_s, sel2 = jax.lax.top_k(all_s, k)
+        top_i = jnp.take_along_axis(all_i, sel2, axis=1)
+        top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
+    return top_s, top_i
 
 
 # ------------------------------------------------------------------ the index
@@ -348,6 +372,9 @@ class IVFIndex:
         self._gids: Optional[jax.Array] = None        # [C, Smax] int32
         self._counts: Optional[np.ndarray] = None     # [C] host
         self._counts_dev: Optional[jax.Array] = None  # [C] int32 device
+        self._ovf_vecs: Optional[jax.Array] = None    # [O_cap, D] overflow
+        self._ovf_gids: Optional[jax.Array] = None    # [O_cap] int32
+        self._ovf_n = 0
         self._vectors_host: Optional[np.ndarray] = None
         self._smax = 0
         self._n = 0
@@ -378,101 +405,128 @@ class IVFIndex:
         emb = np.asarray(embeddings, dtype=np.float32)
         emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
         n = emb.shape[0]
-        c = self.n_clusters or max(8, int(4 * np.sqrt(n)))
-        c = min(c, n)
         vecs_dev = self._put(emb)
         if centers is None:
+            c = min(self.n_clusters or max(8, int(4 * np.sqrt(n))), n)
             centers_dev = kmeans_device(
                 vecs_dev, c, iters=self.kmeans_iters, seed=self.seed
             )
         else:
             centers_dev = self._put(centers, jnp.float32)
+        assign = self._assign_host(vecs_dev, centers_dev)
+        plan = self._plan_layout(assign, int(centers_dev.shape[0]))
+        cap, kept_rows, kept_pos, kept_counts, ovf_rows, o_cap = plan
+        c = int(centers_dev.shape[0])
+        d = emb.shape[1]
+
+        clusters = np.zeros((c * cap, d), np.float32)
+        clusters[kept_pos] = emb[kept_rows]
+        gids = np.full((c * cap,), -1, np.int32)
+        gids[kept_pos] = kept_rows
+        ovf_vecs = np.zeros((o_cap, d), np.float32)
+        ovf_gids = np.full((o_cap,), -1, np.int32)
+        ovf_vecs[: len(ovf_rows)] = emb[ovf_rows]
+        ovf_gids[: len(ovf_rows)] = ovf_rows
+
+        self._centers = centers_dev
+        self._clusters = self._put(clusters.reshape(c, cap, d),
+                                   self.vector_dtype)
+        self._gids = self._put(gids.reshape(c, cap))
+        self._counts = kept_counts.astype(np.int64)
+        self._counts_dev = self._put(kept_counts.astype(np.int32))
+        self._ovf_vecs = self._put(ovf_vecs, self.vector_dtype)
+        self._ovf_gids = self._put(ovf_gids)
+        self._ovf_n = len(ovf_rows)
+        self._vectors_host = emb
+        self._smax = cap
+        self._n = n
+        self.metas = [_to_meta(m) for m in metas]
+
+    def _assign_host(self, vecs_dev, centers_dev) -> np.ndarray:
+        n = vecs_dev.shape[0]
         block = min(16384, n)
         n_trim = (n // block) * block
-        assign = np.asarray(_balanced_assign(vecs_dev[:n_trim],
-                                             centers_dev, block_n=block))
+        assign = np.asarray(_balanced_assign(vecs_dev[:n_trim], centers_dev,
+                                             block_n=block))
         if n_trim < n:
             tail = np.asarray(jnp.argmax(jax.lax.dot_general(
                 vecs_dev[n_trim:], centers_dev, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32), axis=1)).astype(np.int32)
             assign = np.concatenate([assign, tail])
+        return assign
 
+    def _plan_layout(self, assign: np.ndarray, c: int,
+                     cap_factor: float = 1.25):
+        """Host-side layout plan: per-cluster capacity = cap_factor x mean
+        (chunk/lane-aligned); rows past a cluster's capacity go to the
+        guaranteed-visibility overflow block (always exact-scanned at
+        search), so capping memory costs no recall."""
+        n = len(assign)
         counts = np.bincount(assign, minlength=c)
-        # Capacity: headroom over the fullest cluster, chunk/lane-aligned, so
-        # incremental adds have slots before a rebuild is forced.
-        smax = round_smax(int(-(-max(1, counts.max()) * 5 // 4)))
-        clusters = np.zeros((c, smax, emb.shape[1]), np.float32)
-        gids = np.full((c, smax), -1, np.int32)
-        fill = np.zeros(c, np.int64)
+        cap = round_smax(max(1, int(-(-n * cap_factor // c))))
         order = np.argsort(assign, kind="stable")
-        for row in order:
-            cl = assign[row]
-            clusters[cl, fill[cl]] = emb[row]
-            gids[cl, fill[cl]] = row
-            fill[cl] += 1
-
-        self._centers = centers_dev
-        self._clusters = self._put(clusters, self.vector_dtype)
-        self._gids = self._put(gids)
-        self._counts = fill
-        self._counts_dev = self._put(fill.astype(np.int32))
-        self._vectors_host = emb
-        self._smax = smax
-        self._n = n
-        self.metas = [_to_meta(m) for m in metas]
+        sorted_assign = assign[order]
+        starts = np.zeros(c, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        slots = np.arange(n, dtype=np.int64) - starts[sorted_assign]
+        keep = slots < cap
+        kept_rows = order[keep]
+        kept_pos = sorted_assign[keep] * cap + slots[keep]
+        ovf_rows = order[~keep]
+        kept_counts = np.minimum(counts, cap)
+        # Overflow capacity: power of two with headroom (flat_topk block).
+        o_cap = 128
+        while o_cap < max(1, len(ovf_rows)) * 2:
+            o_cap *= 2
+        return cap, kept_rows, kept_pos, kept_counts, ovf_rows, o_cap
 
     def build_from_device(
         self,
         vecs_dev: jax.Array,               # [N, D] f32, already on device, normalized
         metas: Optional[Sequence[Dict[str, Any] | Chunk]] = None,
     ) -> None:
-        """Build entirely on device (k-means, cluster assignment, AND the
-        cluster-major layout) — no host round-trip. The serving build path
-        goes through ``build`` (host mirror kept for checkpointing); this is
-        for benchmark/large-N cases where host<->device bandwidth dominates.
-        """
+        """Build with the vectors staying on device (k-means, assignment, and
+        the scatter into the layout all run there; only the [N] assignment
+        and the layout index plan round-trip the host — ~8 bytes/row, not the
+        vectors). For benchmark/large-N cases where host<->device bandwidth
+        dominates; the serving path uses ``build`` (host mirror kept for
+        checkpointing)."""
         n, d = vecs_dev.shape
-        c = self.n_clusters or max(8, int(4 * np.sqrt(n)))
-        c = min(c, n)
+        c = min(self.n_clusters or max(8, int(4 * np.sqrt(n))), n)
         centers = kmeans_device(vecs_dev, c, iters=self.kmeans_iters,
                                 seed=self.seed)
-        block = min(16384, n)
-        n_trim = (n // block) * block
-        assign = _balanced_assign(vecs_dev[:n_trim], centers, block_n=block)
-        if n_trim < n:
-            tail = jnp.argmax(jax.lax.dot_general(
-                vecs_dev[n_trim:], centers, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32), axis=1).astype(jnp.int32)
-            assign = jnp.concatenate([assign, tail])
-        counts = np.asarray(jax.ops.segment_sum(
-            jnp.ones((n,), jnp.int32), assign, num_segments=c))
-        smax = round_smax(int(-(-max(1, int(counts.max())) * 5 // 4)))
+        assign = self._assign_host(vecs_dev, centers)
+        cap, kept_rows, kept_pos, kept_counts, ovf_rows, o_cap = \
+            self._plan_layout(assign, c)
 
-        @functools.partial(jax.jit, static_argnames=("c_", "smax_"))
-        def layout(vecs, assign, c_, smax_):
-            order = jnp.argsort(assign, stable=True)
-            sorted_assign = assign[order]
-            cnt = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), assign,
-                                      num_segments=c_)
-            starts = jnp.cumsum(cnt) - cnt                      # [C]
-            slot = jnp.arange(n, dtype=jnp.int32) - starts[sorted_assign]
-            flat_pos = sorted_assign * smax_ + slot
-            clusters = jnp.zeros((c_ * smax_, vecs.shape[1]), self.vector_dtype)
-            # Cast BEFORE the gather: halves the temporary's HBM footprint
-            # when the storage dtype is bf16.
-            clusters = clusters.at[flat_pos].set(
-                vecs.astype(self.vector_dtype)[order])
-            gids = jnp.full((c_ * smax_,), -1, jnp.int32)
-            gids = gids.at[flat_pos].set(order.astype(jnp.int32))
-            return (clusters.reshape(c_, smax_, vecs.shape[1]),
-                    gids.reshape(c_, smax_))
+        @functools.partial(jax.jit, static_argnames=("c_", "cap_", "o_cap_"))
+        def scatter(vecs, kept_rows_d, kept_pos_d, ovf_rows_d, c_, cap_, o_cap_):
+            vb = vecs.astype(self.vector_dtype)
+            clusters = jnp.zeros((c_ * cap_, vecs.shape[1]), self.vector_dtype)
+            clusters = clusters.at[kept_pos_d].set(vb[kept_rows_d])
+            gids = jnp.full((c_ * cap_,), -1, jnp.int32)
+            gids = gids.at[kept_pos_d].set(kept_rows_d.astype(jnp.int32))
+            o = ovf_rows_d.shape[0]
+            ovf_vecs = jnp.zeros((o_cap_, vecs.shape[1]), self.vector_dtype)
+            ovf_gids = jnp.full((o_cap_,), -1, jnp.int32)
+            if o:
+                ovf_vecs = ovf_vecs.at[jnp.arange(o)].set(vb[ovf_rows_d])
+                ovf_gids = ovf_gids.at[jnp.arange(o)].set(
+                    ovf_rows_d.astype(jnp.int32))
+            return (clusters.reshape(c_, cap_, vecs.shape[1]),
+                    gids.reshape(c_, cap_), ovf_vecs, ovf_gids)
 
-        self._clusters, self._gids = layout(vecs_dev, assign, c, smax)
+        self._clusters, self._gids, self._ovf_vecs, self._ovf_gids = scatter(
+            vecs_dev, self._put(kept_rows.astype(np.int32)),
+            self._put(kept_pos.astype(np.int32)),
+            self._put(ovf_rows.astype(np.int32)), c, cap, o_cap,
+        )
         self._centers = centers
-        self._counts = counts.astype(np.int64)
-        self._counts_dev = self._put(counts.astype(np.int32))
+        self._counts = kept_counts.astype(np.int64)
+        self._counts_dev = self._put(kept_counts.astype(np.int32))
+        self._ovf_n = len(ovf_rows)
         self._vectors_host = None
-        self._smax = smax
+        self._smax = cap
         self._n = n
         self.metas = [_to_meta(m) for m in metas] if metas else [
             {"doc_id": str(i), "text": ""} for i in range(n)
@@ -480,8 +534,10 @@ class IVFIndex:
 
     def add(self, embeddings: np.ndarray, metas) -> None:
         """Incremental insert: assign to the nearest centroid and append into
-        that cluster's free slots (centroids stay fixed — standard IVF add).
-        Falls back to a rebuild (fresh k-means) when a cluster overflows."""
+        that cluster's free slots; a full cluster sends the row to the
+        overflow block (centroids stay fixed — standard IVF add). Falls back
+        to a rebuild (fresh k-means) only when the overflow block itself
+        fills (amortized by its power-of-two headroom)."""
         emb = np.asarray(embeddings, dtype=np.float32)
         if emb.size == 0:
             return
@@ -493,27 +549,40 @@ class IVFIndex:
         assign = np.asarray(jnp.argmax(jax.lax.dot_general(
             self._put(emb), self._centers, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32), axis=1)).astype(np.int32)
-        counts_after = self._counts.copy()
-        np.add.at(counts_after, assign, 1)
-        if counts_after.max() > self._smax:
+        fill = self._counts.copy()
+        cl_list, slot_list, cl_rows = [], [], []
+        ovf_rows = []
+        for i, cl in enumerate(assign):
+            if fill[cl] < self._smax:
+                cl_list.append(cl)
+                slot_list.append(fill[cl])
+                cl_rows.append(i)
+                fill[cl] += 1
+            else:
+                ovf_rows.append(i)
+        o_cap = self._ovf_vecs.shape[0]
+        if self._ovf_n + len(ovf_rows) > o_cap:
             all_vecs = np.concatenate([self._vectors_host, emb])
             self.build(all_vecs, self.metas + new_metas)
             return
-        # Scatter the new rows into (cluster, slot) positions on device.
-        slots = np.empty(len(assign), np.int64)
-        fill = self._counts
-        for i, cl in enumerate(assign):
-            slots[i] = fill[cl]
-            fill[cl] += 1
         gid0 = self._n
-        cl_idx = self._put(assign.astype(np.int32))
-        sl_idx = self._put(slots.astype(np.int32))
-        self._clusters = self._clusters.at[cl_idx, sl_idx].set(
-            self._put(emb, self.vector_dtype)
-        )
-        self._gids = self._gids.at[cl_idx, sl_idx].set(
-            self._put(np.arange(gid0, gid0 + len(assign), dtype=np.int32))
-        )
+        if cl_rows:
+            self._clusters = self._clusters.at[
+                self._put(np.asarray(cl_list, np.int32)),
+                self._put(np.asarray(slot_list, np.int32)),
+            ].set(self._put(emb[cl_rows], self.vector_dtype))
+            self._gids = self._gids.at[
+                self._put(np.asarray(cl_list, np.int32)),
+                self._put(np.asarray(slot_list, np.int32)),
+            ].set(self._put(gid0 + np.asarray(cl_rows, np.int32)))
+        if ovf_rows:
+            pos = self._put(self._ovf_n + np.arange(len(ovf_rows), dtype=np.int32))
+            self._ovf_vecs = self._ovf_vecs.at[pos].set(
+                self._put(emb[ovf_rows], self.vector_dtype))
+            self._ovf_gids = self._ovf_gids.at[pos].set(
+                self._put(gid0 + np.asarray(ovf_rows, np.int32)))
+            self._ovf_n += len(ovf_rows)
+        self._counts = fill
         self._counts_dev = self._put(fill.astype(np.int32))
         self._vectors_host = np.concatenate([self._vectors_host, emb])
         self._n += len(assign)
@@ -533,6 +602,7 @@ class IVFIndex:
             q = jax.device_put(q, self.device)
         scores, ids = ivf_search(
             q, self._centers, self._clusters, self._gids, self._counts_dev,
+            self._ovf_vecs, self._ovf_gids, jnp.int32(self._ovf_n),
             n_probe=n_probe, k=min(k, self._n),
             use_pallas=self._use_pallas(),
         )
