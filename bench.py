@@ -9,6 +9,10 @@ Three engines are measured; the fastest recall-gated one is the headline:
   per chip — batched brute force is pure MXU work (DESIGN.md §8).
 - **approx-topk MXU scan**: same matmuls, per-block candidate selection via
   the TPU-optimized ``lax.approx_max_k`` aggregation (exact cross-block merge).
+- **fused Pallas scan** (ops/fused_scan.py): matmul + per-128-lane-bin top-1
+  reduced in VMEM; scores never touch HBM. Measured at the raw-matmul bound
+  (DESIGN.md §8). Also run at B=4096 (four batched streams per dispatch) to
+  amortize the dev tunnel's per-dispatch host cost.
 - **HNSW beam search** (index/hnsw.py, M=16): the graph-ANN engine for the
   regimes where it wins (tiny-batch latency, very large N). Best-effort
   diagnostic — its device graph build depends on a remote compile service
@@ -126,6 +130,32 @@ def main():
     flat_qps, flat_recall = scan_config("exact MXU scan", approx=False)
     ascan_qps, ascan_recall = scan_config("approx-topk MXU scan", approx=True)
 
+    # Fused Pallas scan, B=1024 and B=4096 (4 batched streams per dispatch).
+    # Its tile size needs N padded to a 2048 multiple (FlatIndex's
+    # power-of-two capacities always satisfy this; the bench pads here).
+    from sqe_tpu.ops.fused_scan import fused_scan_topk, pick_bn
+
+    nf = -(-n // 2048) * 2048
+    vf = np.zeros((nf, d), np.float32)
+    vf[:n] = vecs
+    vecs_fused = jax.device_put(jnp.asarray(vf, dtype=jnp.bfloat16), device)
+    del vf
+    bn = pick_bn(nf)
+    _fs, fids = fused_scan_topk(q_dev, vecs_fused, jnp.int32(n), k=k, bn=bn)
+    fused_recall = float(
+        epsilon_recall(vecs, queries, np.asarray(fids), ref_scores, k)
+    )
+    log(f"fused Pallas scan epsilon-recall@{k}: {fused_recall:.4f}")
+    fused_qps = timed_windows(
+        lambda: fused_scan_topk(q_dev, vecs_fused, jnp.int32(n), k=k, bn=bn),
+        "fused Pallas scan",
+    )
+    q4_dev = jnp.tile(q_dev, (4, 1))
+    fused4_qps = 4 * timed_windows(
+        lambda: fused_scan_topk(q4_dev, vecs_fused, jnp.int32(n), k=k, bn=bn),
+        "fused Pallas scan B=4096 (per-1024 share x4)",
+    )
+
     # HNSW graph path: best-effort diagnostic; the headline never waits on
     # the graph-build compile (remote compile variance is minutes-scale).
     hnsw_qps, hnsw_recall = 0.0, 0.0
@@ -171,6 +201,14 @@ def main():
     if ascan_recall >= 0.95:
         candidates.append(
             (ascan_qps, f"approx_scan_qps_100k_1024d_recall{ascan_recall:.3f}")
+        )
+    if fused_recall >= 0.95:
+        candidates.append(
+            (fused_qps, f"fused_scan_qps_100k_1024d_recall{fused_recall:.3f}")
+        )
+        candidates.append(
+            (fused4_qps,
+             f"fused_scan_qps_100k_1024d_B4096_recall{fused_recall:.3f}")
         )
     if hnsw_recall >= 0.95:
         candidates.append(

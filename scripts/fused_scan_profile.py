@@ -1,0 +1,141 @@
+"""Break down fused-scan cost: kernel candidates vs final merge."""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqe_tpu.ops.fused_scan import fused_scan_candidates, fused_scan_topk, pick_bn
+from sqe_tpu.utils.compile_cache import enable
+
+
+def timed(fn, reps=5, windows=5):
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        _ = np.asarray(out[0])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best * 1e3
+
+
+def main():
+    enable()
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
+    b = 1024
+    d = 1024
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v_dev = jax.device_put(jnp.asarray(v, jnp.bfloat16), dev)
+    q_dev = jax.device_put(jnp.asarray(q), dev)
+    vn = jnp.int32(n)
+    bn = pick_bn(n)
+
+    # Pure matmul reference ceiling.
+    @jax.jit
+    def mm(q, v):
+        return (jnp.dot(q.astype(jnp.bfloat16), v.T,
+                        preferred_element_type=jnp.float32).sum(axis=1),)
+
+    @jax.jit
+    def cand_reduced(q, v, valid):
+        cs, ci = fused_scan_candidates(q, v, valid, bq=256, bn=bn)
+        return (cs.sum(), ci.sum())
+
+    f = lambda: cand_reduced(q_dev, v_dev, vn)
+    np.asarray(f()[0])
+    print(f"candidates (device-reduced): {timed(f):.2f} ms", flush=True)
+
+    # In-loop timings: run the op R times inside ONE jitted program so the
+    # ~7 ms tunnel dispatch floor is amortized away; perturb the query with
+    # the iteration index so XLA cannot CSE the iterations.
+    R = 10
+
+    def inloop(op):
+        @jax.jit
+        def run(q, v, valid):
+            def body(i, acc):
+                out = op(q + 1e-6 * i, v, valid)
+                return acc + out
+            return jax.lax.fori_loop(0, R, body, 0.0)
+        np.asarray(run(q_dev, v_dev, vn))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = run(q_dev, v_dev, vn)
+            np.asarray(out)
+            best = min(best, (time.perf_counter() - t0) / R)
+        return best * 1e3
+
+    def op_cand(q, v, valid):
+        cs, ci = fused_scan_candidates(q, v, valid, bq=256, bn=bn)
+        return cs.sum() + ci.sum()
+
+    def op_full(q, v, valid):
+        from sqe_tpu.ops.fused_scan import fused_scan_topk as fst
+        ms, mi = fst(q, v, valid, k=10, bn=bn)
+        return ms.sum() + mi.sum()
+
+    def op_mm(q, v, valid):
+        return jnp.dot(q.astype(jnp.bfloat16), v.T,
+                       preferred_element_type=jnp.float32).sum()
+
+    print(f"IN-LOOP candidates: {inloop(op_cand):.2f} ms", flush=True)
+    print(f"IN-LOOP full topk:  {inloop(op_full):.2f} ms", flush=True)
+    print(f"IN-LOOP raw matmul: {inloop(op_mm):.2f} ms", flush=True)
+
+    def op_blocked(approx):
+        def op(q, v, valid):
+            s, ids = flat_topk(q, v, valid, k=10, block_n=n,
+                               exact=False, approx_topk=approx)
+            return s.sum() + ids.sum()
+        return op
+
+    from sqe_tpu.index.flat import flat_topk
+    print(f"IN-LOOP blocked exact-k: {inloop(op_blocked(False)):.2f} ms",
+          flush=True)
+    print(f"IN-LOOP blocked approx:  {inloop(op_blocked(True)):.2f} ms",
+          flush=True)
+
+    for bq, bnv in [(128, 2048), (256, 1024), (512, 1024), (128, 4096)]:
+        if n % bnv:
+            continue
+        def op(q, v, valid, bq=bq, bnv=bnv):
+            from sqe_tpu.ops.fused_scan import fused_scan_topk as fst
+            ms, mi = fst(q, v, valid, k=10, bq=bq, bn=bnv)
+            return ms.sum() + mi.sum()
+        try:
+            print(f"IN-LOOP fused bq={bq} bn={bnv}: {inloop(op):.2f} ms",
+                  flush=True)
+        except Exception as e:
+            print(f"IN-LOOP fused bq={bq} bn={bnv}: FAIL {str(e)[:120]}",
+                  flush=True)
+
+    g = lambda: fused_scan_topk(q_dev, v_dev, vn, k=10, bn=bn)
+    np.asarray(g()[0])
+    print(f"full topk:  {timed(g):.2f} ms", flush=True)
+
+    np.asarray(mm(q_dev, v_dev)[0])
+    print(f"raw matmul+rowsum: {timed(lambda: mm(q_dev, v_dev)):.2f} ms", flush=True)
+
+    # Merge alone.
+    cs, ci = fused_scan_candidates(q_dev, v_dev, vn, bn=bn)
+    cs, ci = jax.block_until_ready(cs), jax.block_until_ready(ci)
+
+    @jax.jit
+    def merge(cs, ci):
+        ms, sel = jax.lax.top_k(cs, 10)
+        return ms, jnp.take_along_axis(ci, sel, axis=1)
+
+    h = lambda: merge(cs, ci)
+    np.asarray(h()[0])
+    print(f"merge alone ([{cs.shape}] top_k): {timed(h):.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

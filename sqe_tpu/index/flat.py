@@ -24,6 +24,7 @@ import numpy as np
 
 from sqe_tpu.data.corpus import Chunk
 from sqe_tpu.ops.distance import l2_normalize
+from sqe_tpu.ops.fused_scan import fused_scan_topk, pick_bn
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_n", "exact", "approx_topk"))
@@ -105,16 +106,26 @@ class FlatIndex:
         dtype: Any = jnp.float32,
         device: Optional[jax.Device] = None,
         exact: bool = True,
+        scan_impl: str = "auto",
     ):
         """``exact=True`` scores at Precision.HIGHEST (the ground-truth oracle
         mode); ``exact=False`` uses the MXU's native bf16-pass f32 matmul —
         the serving mode, ~20% faster with ranking identical up to
-        sub-1e-3 score ties."""
+        sub-1e-3 score ties.
+
+        ``scan_impl`` selects the serving scan for ``exact=False``:
+        ``"fused"`` = the Pallas fused matmul+bin-top-1 kernel
+        (ops/fused_scan.py — never writes scores to HBM; the fastest path,
+        measured at the raw-matmul bound, DESIGN.md §8), ``"blocked"`` = the
+        XLA blocked scan, ``"auto"`` = fused on TPU when shapes allow, else
+        blocked. The oracle mode always uses the blocked exact scan."""
+        assert scan_impl in ("auto", "fused", "blocked")
         self.embed_dim = embed_dim
         self.block_n = block_n
         self.dtype = dtype
         self.device = device
         self.exact = exact
+        self.scan_impl = scan_impl
         self.metas: List[Dict[str, Any]] = []
         self._vectors: Optional[jax.Array] = None   # [N_padded, D] on device
         self._n = 0
@@ -206,16 +217,37 @@ class FlatIndex:
         with self.lock:   # capture+dispatch must exclude a concurrent donate
             k_eff = min(k, self._n)
             length = self._vectors.shape[0]
-            block = min(self.block_n, length)
-            if length % block:
-                # Capacity grows in powers of two; fall back to the largest
-                # power-of-two block that divides it.
-                block = 1 << (min(self.block_n, length).bit_length() - 1)
-            scores, ids = flat_topk(
-                q, self._vectors, jnp.int32(self._n), k=k_eff, block_n=block,
-                exact=self.exact,
-            )
+            if self._use_fused(length, k_eff):
+                scores, ids = fused_scan_topk(
+                    q, self._vectors, jnp.int32(self._n), k=k_eff,
+                    bn=pick_bn(length),
+                )
+            else:
+                block = min(self.block_n, length)
+                if length % block:
+                    # Capacity grows in powers of two; fall back to the
+                    # largest power-of-two block that divides it.
+                    block = 1 << (min(self.block_n, length).bit_length() - 1)
+                scores, ids = flat_topk(
+                    q, self._vectors, jnp.int32(self._n), k=k_eff,
+                    block_n=block, exact=self.exact,
+                )
         return np.asarray(scores), np.asarray(ids)
+
+    def _use_fused(self, length: int, k: int) -> bool:
+        if self.exact or self.scan_impl == "blocked":
+            return False
+        if self._vectors.dtype != jnp.bfloat16:
+            return False
+        try:
+            platform = next(iter(self._vectors.devices())).platform
+        except Exception:  # noqa: BLE001
+            platform = jax.default_backend()
+        if platform != "tpu":
+            return False
+        bn = pick_bn(length)
+        # Need >> k bins for the bin-top-1 approximation to hold recall.
+        return bn >= 128 and length // 128 >= 16 * k
 
     def search(
         self, query_emb: np.ndarray, k: int = 3

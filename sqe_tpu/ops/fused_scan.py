@@ -1,0 +1,203 @@
+"""Pallas fused matmul + top-k-candidate scan for the flat index.
+
+The blocked XLA scan (index/flat.py::flat_topk) is merge-bound, not
+MXU-bound: XLA materializes each [B, block_n] f32 score tile to HBM and
+re-reads it for ``top_k``/``approx_max_k`` — at 100k x 1024-d, B=1024 that is
+>1 GB of score traffic per batch against a 0.2 TFLOP matmul, leaving the scan
+at <10% of bf16 peak (the round-1 headline's measured ceiling; it replaces
+the reference's delegated OpenSearch k-NN scoring, app/main.py:347-373).
+
+This kernel never writes scores to HBM.  Per grid step it computes one
+[BQ, BN] score tile on the MXU and immediately reduces it on the VPU to one
+candidate per 128-lane *bin* (exact top-1 within each bin — the same
+aggregation ``lax.approx_max_k`` uses, so the recall characteristics match
+the measured 0.99+ approx-scan gate), writing only a [BQ, BN/128] candidate
+tile.  HBM traffic is the corpus read itself plus ~1/128 of the score
+matrix.  The final exact merge (``lax.top_k`` over all bins' candidates) is
+[B, N/128] — 128x smaller than what the XLA path sorts.
+
+Approximation contract: a true top-k id is missed only when two of the true
+top-k land in the same 128-wide bin (probability ~ k^2 * 128 / 2N for
+uniformly-placed ids); at N >= 100k this measures >= 0.99 epsilon-recall@10,
+identical to the approx_max_k path, and the cross-bin merge is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIN = 128  # candidate bin width = one VPU lane row
+
+
+def _scan_kernel(
+    valid_ref,   # [1, 1] int32 in SMEM: number of real corpus rows
+    q_ref,       # [BQ, D] bf16 query tile (resident across the i axis)
+    v_ref,       # [BN, D] bf16 vector tile
+    s_out,       # [1, BQ, L] f32 candidate scores (tile-major layout)
+    i_out,       # [1, BQ, L] int32 candidate (global) ids
+    *,
+    bq: int,
+    bn: int,
+):
+    i = pl.program_id(0)
+    valid_n = valid_ref[0, 0]
+    base = i * bn
+    # One MXU contraction: [BQ, D] x [BN, D]^T -> [BQ, BN] f32.
+    s = jax.lax.dot_general(
+        q_ref[:], v_ref[:],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bq, BIN), 1)
+    out_s = []
+    out_i = []
+    for l in range(bn // BIN):
+        # Static lane-aligned slice: no relayout.
+        chunk = s[:, l * BIN:(l + 1) * BIN]
+        gids = base + l * BIN + lanes
+        chunk = jnp.where(gids < valid_n, chunk, -jnp.inf)
+        m = jnp.max(chunk, axis=1, keepdims=True)              # [BQ, 1]
+        # argmax via min-index-of-max (no native argmax relayout).
+        am = jnp.min(
+            jnp.where(chunk >= m, lanes, BIN), axis=1, keepdims=True
+        )
+        out_s.append(m)
+        out_i.append(base + l * BIN + am)
+    s_out[0] = jnp.concatenate(out_s, axis=1)
+    i_out[0] = jnp.concatenate(out_i, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bq", "bn", "interpret")
+)
+def fused_scan_candidates(
+    queries: jax.Array,    # [B, D] (any float dtype; cast to bf16)
+    vectors: jax.Array,    # [N, D] bf16, N % bn == 0, pad rows arbitrary
+    valid_n: jax.Array,    # scalar int32
+    *,
+    bq: int = 256,
+    bn: int = 2048,
+    interpret: bool = False,
+):
+    """Per-bin top-1 candidates: (scores [B, N//128], ids [B, N//128]).
+
+    Pad rows (ids >= valid_n) come back as -inf and never win the merge.
+    B is padded to a multiple of ``bq`` internally.
+    """
+    n, d = vectors.shape
+    assert n % bn == 0 and bn % BIN == 0, (n, bn)
+    b = queries.shape[0]
+    b_pad = -(-b // bq) * bq
+    q = jnp.zeros((b_pad, d), jnp.bfloat16).at[:b].set(
+        queries.astype(jnp.bfloat16)
+    )
+    nb = n // bn
+    l = bn // BIN
+    grid_spec = pl.GridSpec(
+        # i (vector tile) outermost so each corpus tile is DMA'd once and
+        # re-used across all query tiles.
+        grid=(nb, b_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bq, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # Tile-major [NB, B, L] keeps the block's trailing dims
+            # (BQ, L) aligned to the (8, full-dim) layout rule; the
+            # per-query flatten below is one cheap XLA transpose.
+            pl.BlockSpec((1, bq, l), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, l), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    kernel = functools.partial(_scan_kernel, bq=bq, bn=bn)
+    cs, ci = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, b_pad, l), jnp.float32),
+            jax.ShapeDtypeStruct((nb, b_pad, l), jnp.int32),
+        ],
+        interpret=interpret,
+    )(valid_n.reshape(1, 1).astype(jnp.int32), q, vectors)
+    cs = cs.transpose(1, 0, 2).reshape(b_pad, nb * l)
+    ci = ci.transpose(1, 0, 2).reshape(b_pad, nb * l)
+    return cs[:b], ci[:b]
+
+
+def pick_bn(n: int, cap: int = 2048) -> int:
+    """Largest vector-tile size <= cap (multiple of BIN) dividing n, or 0."""
+    bn = min(cap, n)
+    while bn >= BIN:
+        if n % bn == 0 and bn % BIN == 0:
+            return bn
+        bn -= BIN
+    return 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bq", "bn", "interpret")
+)
+def fused_scan_topk(
+    queries: jax.Array,    # [B, D]
+    vectors: jax.Array,    # [N, D] bf16
+    valid_n: jax.Array,    # scalar int32
+    *,
+    k: int,
+    bq: int = 256,
+    bn: int = 2048,
+    interpret: bool = False,
+):
+    """Full fused scan: kernel candidates + exact cross-bin merge.
+
+    Drop-in for ``flat_topk(..., exact=False)``; returns (scores [B, k],
+    ids [B, k]) with ids of -inf slots undefined-but-masked (score -inf)."""
+    cs, ci = fused_scan_candidates(
+        queries, vectors, valid_n, bq=bq, bn=bn, interpret=interpret
+    )
+    k_eff = min(k, cs.shape[1])
+    ms, sel = jax.lax.top_k(cs, k_eff)
+    mi = jnp.take_along_axis(ci, sel, axis=1)
+    mi = jnp.where(jnp.isfinite(ms), mi, -1)
+    if k_eff < k:
+        pad = k - k_eff
+        ms = jnp.pad(ms, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        mi = jnp.pad(mi, ((0, 0), (0, pad)), constant_values=-1)
+    return ms, mi
+
+
+def fused_scan_reference(queries, vectors, valid_n, *, k):
+    """XLA oracle with identical bin-top-1 semantics (kernel parity tests)."""
+    n, d = vectors.shape
+    s = jnp.dot(
+        queries.astype(jnp.bfloat16), vectors.T,
+        preferred_element_type=jnp.float32,
+    )
+    ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(ids < valid_n, s, -jnp.inf)
+    b = s.shape[0]
+    sb = s.reshape(b, n // BIN, BIN)
+    m = jnp.max(sb, axis=2)
+    am = jnp.argmin(
+        jnp.where(
+            sb >= m[..., None],
+            jax.lax.broadcasted_iota(jnp.int32, sb.shape, 2),
+            BIN,
+        ),
+        axis=2,
+    ).astype(jnp.int32)
+    gids = jnp.arange(0, n, BIN, dtype=jnp.int32)[None, :] + am
+    ms, sel = jax.lax.top_k(m, min(k, m.shape[1]))
+    mi = jnp.take_along_axis(gids, sel, axis=1)
+    mi = jnp.where(jnp.isfinite(ms), mi, -1)
+    return ms, mi
