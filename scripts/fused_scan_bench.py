@@ -82,7 +82,18 @@ def main():
             exact=False, approx_topk=True)),
         ("fused_pallas", lambda: fused_scan_topk(
             q_dev, v_bf16, jnp.int32(n), k=k, bn=pick_bn(n_pad))),
+        ("fused_int8", None),
     ]:
+        if tag == "fused_int8":
+            from sqe_tpu.ops.fused_scan import (
+                fused_scan_topk_int8, quantize_rows,
+            )
+            v_i8, v_s = jax.jit(quantize_rows)(
+                jax.device_put(jnp.asarray(vb), dev)
+            )
+            v_i8 = jax.block_until_ready(v_i8)
+            fn = lambda: fused_scan_topk_int8(
+                q_dev, v_i8, v_s, jnp.int32(n), k=k, bn=pick_bn(n_pad))
         t0 = time.perf_counter()
         s, ids = fn()
         ids = np.asarray(ids)

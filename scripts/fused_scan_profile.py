@@ -89,6 +89,28 @@ def main():
     print(f"IN-LOOP full topk:  {inloop(op_full):.2f} ms", flush=True)
     print(f"IN-LOOP raw matmul: {inloop(op_mm):.2f} ms", flush=True)
 
+    from sqe_tpu.ops.fused_scan import fused_scan_topk_int8, quantize_rows
+    v_i8, v_s = jax.jit(quantize_rows)(
+        jax.device_put(jnp.asarray(v), dev)
+    )
+    v_i8 = jax.block_until_ready(v_i8)
+
+    @jax.jit
+    def int8_loop(q, vi, vs, valid):
+        def body(i, acc):
+            ms, mi = fused_scan_topk_int8(q + 1e-6 * i, vi, vs, valid,
+                                          k=10, bn=bn)
+            return acc + ms.sum() + mi.sum()
+        return jax.lax.fori_loop(0, R, body, 0.0)
+
+    np.asarray(int8_loop(q_dev, v_i8, v_s, vn))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(int8_loop(q_dev, v_i8, v_s, vn))
+        best = min(best, (time.perf_counter() - t0) / R)
+    print(f"IN-LOOP fused int8: {best*1e3:.2f} ms", flush=True)
+
     def op_blocked(approx):
         def op(q, v, valid):
             s, ids = flat_topk(q, v, valid, k=10, block_n=n,

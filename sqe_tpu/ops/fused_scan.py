@@ -135,6 +135,125 @@ def fused_scan_candidates(
     return cs[:b], ci[:b]
 
 
+def _scan_kernel_int8(
+    valid_ref,   # [1, 1] int32 in SMEM
+    q_ref,       # [BQ, D] int8 query tile
+    v_ref,       # [BN, D] int8 vector tile
+    vs_ref,      # [1, BN] f32 per-row vector scales
+    s_out,       # [1, BQ, L] f32 candidate scores (query-scale NOT applied)
+    i_out,       # [1, BQ, L] int32 candidate ids
+    *,
+    bq: int,
+    bn: int,
+):
+    i = pl.program_id(0)
+    valid_n = valid_ref[0, 0]
+    base = i * bn
+    # Int8 MXU contraction (2x bf16 rate on v5e) -> i32 accumulators.
+    s = jax.lax.dot_general(
+        q_ref[:], v_ref[:],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    # Per-vector dequant scale. The per-QUERY scale is constant along the
+    # reduction axis of every comparison below, so it is applied outside
+    # the kernel (ordering is invariant to it).
+    s = s * vs_ref[0][None, :]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bq, BIN), 1)
+    out_s = []
+    out_i = []
+    for l in range(bn // BIN):
+        chunk = s[:, l * BIN:(l + 1) * BIN]
+        gids = base + l * BIN + lanes
+        chunk = jnp.where(gids < valid_n, chunk, -jnp.inf)
+        m = jnp.max(chunk, axis=1, keepdims=True)
+        am = jnp.min(
+            jnp.where(chunk >= m, lanes, BIN), axis=1, keepdims=True
+        )
+        out_s.append(m)
+        out_i.append(base + l * BIN + am)
+    s_out[0] = jnp.concatenate(out_s, axis=1)
+    i_out[0] = jnp.concatenate(out_i, axis=1)
+
+
+def quantize_rows(x: jax.Array):
+    """Symmetric per-row int8: returns (values int8, scales f32 [rows, 1])
+    with ``x ~= values * scales``."""
+    scales = jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0
+    scales = jnp.maximum(scales, 1e-12)
+    vals = jnp.clip(jnp.round(x / scales), -127, 127).astype(jnp.int8)
+    return vals, scales.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bq", "bn", "interpret")
+)
+def fused_scan_topk_int8(
+    queries: jax.Array,    # [B, D] float
+    vectors_i8: jax.Array,  # [N, D] int8 (quantize_rows of the corpus)
+    vscales: jax.Array,    # [N, 1] f32 row scales
+    valid_n: jax.Array,    # scalar int32
+    *,
+    k: int,
+    bq: int = 256,
+    bn: int = 2048,
+    interpret: bool = False,
+):
+    """Int8 fused scan: 2x the MXU rate and half the HBM traffic of the
+    bf16 kernel, at ~int8 quantization noise (measured in DESIGN.md §8).
+    Returns calibrated (scores [B, k], ids [B, k])."""
+    n, d = vectors_i8.shape
+    assert n % bn == 0 and bn % BIN == 0, (n, bn)
+    b = queries.shape[0]
+    b_pad = -(-b // bq) * bq
+    q_i8, q_scales = quantize_rows(queries.astype(jnp.float32))
+    q = jnp.zeros((b_pad, d), jnp.int8).at[:b].set(q_i8)
+    vs_row = vscales.reshape(1, n)
+    nb = n // bn
+    l = bn // BIN
+    grid_spec = pl.GridSpec(
+        grid=(nb, b_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bq, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, l), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, l), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    kernel = functools.partial(_scan_kernel_int8, bq=bq, bn=bn)
+    cs, ci = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, b_pad, l), jnp.float32),
+            jax.ShapeDtypeStruct((nb, b_pad, l), jnp.int32),
+        ],
+        interpret=interpret,
+    )(valid_n.reshape(1, 1).astype(jnp.int32), q, vectors_i8, vs_row)
+    cs = cs.transpose(1, 0, 2).reshape(b_pad, nb * l)[:b]
+    ci = ci.transpose(1, 0, 2).reshape(b_pad, nb * l)[:b]
+    k_eff = min(k, cs.shape[1])
+    ms, sel = jax.lax.top_k(cs, k_eff)
+    mi = jnp.take_along_axis(ci, sel, axis=1)
+    mi = jnp.where(jnp.isfinite(ms), mi, -1)
+    ms = ms * q_scales  # calibrate: scores ~= cosine
+    if k_eff < k:
+        pad = k - k_eff
+        ms = jnp.pad(ms, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        mi = jnp.pad(mi, ((0, 0), (0, pad)), constant_values=-1)
+    return ms, mi
+
+
 def pick_bn(n: int, cap: int = 2048) -> int:
     """Largest vector-tile size <= cap (multiple of BIN) dividing n, or 0."""
     bn = min(cap, n)

@@ -81,6 +81,39 @@ def test_pad_rows_never_returned():
     assert (mi[np.isfinite(ms)] >= 0).all()
 
 
+def test_int8_matches_oracle_and_quality():
+    n, d, b, n_valid, k = 2048, 128, 8, 2000, 4
+    v, q = _mk(n, d, b, n_valid, seed=3)
+    from sqe_tpu.ops.fused_scan import fused_scan_topk_int8, quantize_rows
+
+    v32 = jnp.asarray(np.asarray(v, np.float32))
+    vi8, vs = quantize_rows(v32)
+    ms, mi = fused_scan_topk_int8(
+        q, vi8, vs, jnp.int32(n_valid), k=k, bq=8, bn=512, interpret=True
+    )
+    ms, mi = np.asarray(ms), np.asarray(mi)
+    # Oracle: int8 dot with identical scales, same bin-top-1 merge.
+    qi8, qs = quantize_rows(q)
+    s = (np.asarray(qi8, np.int32) @ np.asarray(vi8, np.int32).T)
+    s = s.astype(np.float32) * np.asarray(vs).reshape(1, n)
+    s[:, n_valid:] = -np.inf
+    sb = s.reshape(b, n // BIN, BIN)
+    m = sb.max(axis=2)
+    am = sb.argmax(axis=2) + np.arange(0, n, BIN)[None, :]
+    order = np.argsort(-m, axis=1, kind="stable")[:, :k]
+    np.testing.assert_allclose(
+        ms, np.take_along_axis(m, order, axis=1) * np.asarray(qs), rtol=1e-6
+    )
+    np.testing.assert_array_equal(mi, np.take_along_axis(am, order, axis=1))
+    # Calibration: returned scores approximate true cosine.
+    v64, q64 = np.asarray(v32, np.float64), np.asarray(q, np.float64)
+    true = np.take_along_axis(q64 @ v64.T, mi, axis=1)
+    np.testing.assert_allclose(ms, true, atol=2e-2)
+    # Top-1 lands within quantization noise of the true best.
+    best = (q64 @ v64.T)[:, :n_valid].max(axis=1)
+    assert (true[:, 0] >= best - 2e-2).all()
+
+
 def test_pick_bn():
     assert pick_bn(131072) == 2048
     assert pick_bn(1 << 20) == 2048
