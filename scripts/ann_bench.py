@@ -151,6 +151,53 @@ def run_scale(n, d=1024):
         out[name] = rows
         log(f"{name}: {json.dumps(rows)}")
 
+    # ---- fused Pallas scans (ops/fused_scan.py)
+    from sqe_tpu.ops.fused_scan import (
+        fused_scan_topk, fused_scan_topk_int8, pick_bn, quantize_rows,
+    )
+
+    bn = pick_bn(n)
+    if bn:
+        rows = {}
+        for b in BATCHES:
+            q = queries[:b]
+
+            def run(q=q):
+                return fused_scan_topk(q, vecs_bf16, jnp.int32(n), k=K, bn=bn)
+
+            e2e, devt = time_search(run)
+            rows[b] = {"e2e_ms": round(e2e * 1e3, 2),
+                       "dev_ms": round(devt * 1e3, 2),
+                       "qps": round(b / devt)}
+        s, i = fused_scan_topk(gate_q, vecs_bf16, jnp.int32(n), k=K, bn=bn)
+        got = exact_scores_for(vecs, gate_q, np.asarray(i))
+        rows["recall"] = round(eps_recall(np.asarray(i), ref_s, got), 4)
+        out["fused_bf16"] = rows
+        log(f"fused_bf16: {json.dumps(rows)}")
+
+        v_i8, v_s = jax.jit(quantize_rows)(vecs)
+        v_i8 = jax.block_until_ready(v_i8)
+        rows = {}
+        for b in BATCHES:
+            q = queries[:b]
+
+            def run(q=q):
+                return fused_scan_topk_int8(q, v_i8, v_s, jnp.int32(n),
+                                            k=K, bn=bn)
+
+            e2e, devt = time_search(run)
+            rows[b] = {"e2e_ms": round(e2e * 1e3, 2),
+                       "dev_ms": round(devt * 1e3, 2),
+                       "qps": round(b / devt)}
+        s, i = fused_scan_topk_int8(gate_q, v_i8, v_s, jnp.int32(n), k=K,
+                                    bn=bn)
+        got = exact_scores_for(vecs, gate_q, np.asarray(i))
+        rows["recall"] = round(eps_recall(np.asarray(i), ref_s, got), 4)
+        out["fused_int8"] = rows
+        log(f"fused_int8: {json.dumps(rows)}")
+        v_i8.delete()
+        v_s.delete()
+
     # ---- IVF (free the scan's bf16 copy first: HBM budget at 1M)
     vecs_bf16.delete()
     idx = IVFIndex(embed_dim=d, vector_dtype=jnp.bfloat16, kmeans_iters=10,
