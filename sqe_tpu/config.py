@@ -105,6 +105,9 @@ class EngineConfig:
     # scoring — small-batch latency and very large N; DESIGN.md §8b) | "hnsw"
     # (graph ANN, kept for parity with the reference's nmslib engine).
     index_kind: str = "flat"
+    # int8 flat-index storage: half the HBM per vector + the int8 MXU rate
+    # via the fused int8 scan kernel, at ~0.96 epsilon-recall (DESIGN.md §2b).
+    int8_vectors: bool = False
     checkpoint_dir: Optional[str] = None
     mesh_shape: Optional[tuple] = None  # e.g. (8,) to shard the index over 8 chips
 

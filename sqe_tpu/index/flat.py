@@ -24,7 +24,11 @@ import numpy as np
 
 from sqe_tpu.data.corpus import Chunk
 from sqe_tpu.ops.distance import l2_normalize
-from sqe_tpu.ops.fused_scan import fused_scan_topk, pick_bn
+from sqe_tpu.ops.fused_scan import (
+    fused_scan_topk,
+    fused_scan_topk_int8,
+    pick_bn,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_n", "exact", "approx_topk"))
@@ -96,6 +100,11 @@ def _insert_rows(buffer: jax.Array, rows: jax.Array, start: jax.Array) -> jax.Ar
     )
 
 
+@jax.jit
+def _dequantize(vals: jax.Array, scales: jax.Array) -> jax.Array:
+    return vals.astype(jnp.float32) * scales
+
+
 class FlatIndex:
     """Device-resident exact cosine index with host-side chunk metadata."""
 
@@ -118,7 +127,13 @@ class FlatIndex:
         (ops/fused_scan.py — never writes scores to HBM; the fastest path,
         measured at the raw-matmul bound, DESIGN.md §8), ``"blocked"`` = the
         XLA blocked scan, ``"auto"`` = fused on TPU when shapes allow, else
-        blocked. The oracle mode always uses the blocked exact scan."""
+        blocked. The oracle mode always uses the blocked exact scan.
+
+        ``dtype=jnp.int8`` stores symmetric per-row-quantized vectors plus
+        f32 row scales: half the HBM of bf16 and the int8 MXU rate via the
+        int8 fused kernel (DESIGN.md §2b; epsilon-recall ~0.96 vs bf16's
+        ~0.99 at 100k). CPU/non-fused searches dequantize and use the
+        blocked scan. Incompatible with ``exact=True``."""
         assert scan_impl in ("auto", "fused", "blocked")
         self.embed_dim = embed_dim
         self.block_n = block_n
@@ -126,6 +141,9 @@ class FlatIndex:
         self.device = device
         self.exact = exact
         self.scan_impl = scan_impl
+        self._int8 = jnp.dtype(dtype) == jnp.int8
+        assert not (self._int8 and exact), "int8 storage has no oracle mode"
+        self._scales: Optional[jax.Array] = None   # [N_padded, 1] f32 (int8)
         self.metas: List[Dict[str, Any]] = []
         self._vectors: Optional[jax.Array] = None   # [N_padded, D] on device
         self._n = 0
@@ -147,9 +165,16 @@ class FlatIndex:
         return self._vectors
 
     def valid_vectors(self) -> Optional[jax.Array]:
+        """Valid rows as float (dequantized for int8 storage) — the
+        checkpoint/serialization view."""
         with self.lock:
             if self._vectors is None:
                 return None
+            if self._int8:
+                return (
+                    self._vectors[: self._n].astype(jnp.float32)
+                    * self._scales[: self._n]
+                )
             return self._vectors[: self._n]
 
     def add(
@@ -176,35 +201,64 @@ class FlatIndex:
         with self.lock:
             self._add_locked(emb, new_metas)
 
+    @staticmethod
+    def _quantize_host(emb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        scales = np.maximum(
+            np.max(np.abs(emb), axis=1, keepdims=True) / 127.0, 1e-12
+        ).astype(np.float32)
+        vals = np.clip(np.round(emb / scales), -127, 127).astype(np.int8)
+        return vals, scales
+
     def _add_locked(self, emb: np.ndarray, new_metas: List[Dict[str, Any]]) -> None:
         n_new = emb.shape[0]
         needed = self._n + n_new
         cap = 0 if self._vectors is None else self._vectors.shape[0]
+        if self._int8:
+            new_vals, new_scales = self._quantize_host(emb)
         if needed > cap:
             # Grow: power-of-two doubling (always divisible by block_n once
             # past it, so the blocked scan needs no re-padding).
             new_cap = max(8, cap)
             while new_cap < needed:
                 new_cap *= 2
-            buf = np.zeros((new_cap, self.embed_dim), np.float32)
-            if self._n:
-                buf[: self._n] = np.asarray(
-                    self._vectors[: self._n], dtype=np.float32
-                )
-            buf[self._n : needed] = emb
-            arr = jnp.asarray(buf, dtype=self.dtype)
-            if self.device is not None:
-                arr = jax.device_put(arr, self.device)
-            self._vectors = arr
+            if self._int8:
+                buf = np.zeros((new_cap, self.embed_dim), np.int8)
+                sbuf = np.zeros((new_cap, 1), np.float32)
+                if self._n:
+                    buf[: self._n] = np.asarray(self._vectors[: self._n])
+                    sbuf[: self._n] = np.asarray(self._scales[: self._n])
+                buf[self._n : needed] = new_vals
+                sbuf[self._n : needed] = new_scales
+                self._vectors = self._put(jnp.asarray(buf))
+                self._scales = self._put(jnp.asarray(sbuf))
+            else:
+                buf = np.zeros((new_cap, self.embed_dim), np.float32)
+                if self._n:
+                    buf[: self._n] = np.asarray(
+                        self._vectors[: self._n], dtype=np.float32
+                    )
+                buf[self._n : needed] = emb
+                self._vectors = self._put(jnp.asarray(buf, dtype=self.dtype))
         else:
-            update = jnp.asarray(emb, dtype=self.dtype)
-            if self.device is not None:
-                update = jax.device_put(update, self.device)
-            self._vectors = _insert_rows(
-                self._vectors, update, jnp.int32(self._n)
-            )
+            if self._int8:
+                self._vectors = _insert_rows(
+                    self._vectors, self._put(jnp.asarray(new_vals)),
+                    jnp.int32(self._n),
+                )
+                self._scales = _insert_rows(
+                    self._scales, self._put(jnp.asarray(new_scales)),
+                    jnp.int32(self._n),
+                )
+            else:
+                update = self._put(jnp.asarray(emb, dtype=self.dtype))
+                self._vectors = _insert_rows(
+                    self._vectors, update, jnp.int32(self._n)
+                )
         self._n = needed
         self.metas.extend(new_metas)
+
+    def _put(self, arr: jax.Array) -> jax.Array:
+        return jax.device_put(arr, self.device) if self.device is not None else arr
 
     def search_ids(
         self, query_emb: np.ndarray | jax.Array, k: int
@@ -217,10 +271,26 @@ class FlatIndex:
         with self.lock:   # capture+dispatch must exclude a concurrent donate
             k_eff = min(k, self._n)
             length = self._vectors.shape[0]
-            if self._use_fused(length, k_eff):
+            if self._int8 and self._use_fused(length, k_eff):
+                scores, ids = fused_scan_topk_int8(
+                    q, self._vectors, self._scales, jnp.int32(self._n),
+                    k=k_eff, bn=pick_bn(length),
+                )
+            elif self._use_fused(length, k_eff):
                 scores, ids = fused_scan_topk(
                     q, self._vectors, jnp.int32(self._n), k=k_eff,
                     bn=pick_bn(length),
+                )
+            elif self._int8:
+                # Non-fused int8 fallback (CPU tests / tiny indices):
+                # dequantize and run the blocked scan.
+                deq = _dequantize(self._vectors, self._scales)
+                block = min(self.block_n, length)
+                if length % block:
+                    block = 1 << (min(self.block_n, length).bit_length() - 1)
+                scores, ids = flat_topk(
+                    q, deq, jnp.int32(self._n), k=k_eff,
+                    block_n=block, exact=False,
                 )
             else:
                 block = min(self.block_n, length)
@@ -237,7 +307,7 @@ class FlatIndex:
     def _use_fused(self, length: int, k: int) -> bool:
         if self.exact or self.scan_impl == "blocked":
             return False
-        if self._vectors.dtype != jnp.bfloat16:
+        if not self._int8 and self._vectors.dtype != jnp.bfloat16:
             return False
         try:
             platform = next(iter(self._vectors.devices())).platform

@@ -319,12 +319,22 @@ def ivf_search(
         # cluster's capacity live in a small flat block that is ALWAYS
         # scanned exactly — capping cluster memory costs no recall.
         from sqe_tpu.index.flat import flat_topk
+        from sqe_tpu.ops.fused_scan import fused_scan_topk, pick_bn
 
         o_cap = ovf_vecs.shape[0]
-        ovf_s, ovf_local = flat_topk(
-            queries.astype(jnp.float32), ovf_vecs, ovf_n, k=min(k, o_cap),
-            block_n=o_cap, exact=False,
-        )
+        if (use_pallas and ovf_vecs.dtype == jnp.bfloat16
+                and pick_bn(o_cap) and o_cap // 128 >= min(k, o_cap)):
+            # Large overflow tails (spill assignment) ride the fused scan
+            # kernel instead of materializing a [B, O_cap] score tile.
+            ovf_s, ovf_local = fused_scan_topk(
+                queries.astype(jnp.float32), ovf_vecs, ovf_n,
+                k=min(k, o_cap), bn=pick_bn(o_cap),
+            )
+        else:
+            ovf_s, ovf_local = flat_topk(
+                queries.astype(jnp.float32), ovf_vecs, ovf_n,
+                k=min(k, o_cap), block_n=o_cap, exact=False,
+            )
         ovf_i = jnp.where(
             ovf_local >= 0, jnp.take(ovf_gids, jnp.maximum(ovf_local, 0)), -1
         )
@@ -358,7 +368,16 @@ class IVFIndex:
         device: Optional[jax.Device] = None,
         vector_dtype: Any = jnp.float32,
         seed: int = 0,
+        assign_mode: str = "balanced",
     ):
+        """``assign_mode``: "balanced" bounds cluster sizes by distorting
+        assignments (penalized re-assign rounds) — minimal overflow, but rows
+        pushed off their best centroid are only found by probing deeper.
+        "spill" keeps every row in its TRUE best cluster and sends everything
+        past the capacity cap to the exact-scanned overflow block — zero
+        assignment distortion at the cost of a larger overflow tail (scanned
+        by the fused kernel on TPU)."""
+        assert assign_mode in ("balanced", "spill")
         self.embed_dim = embed_dim
         self.n_clusters = n_clusters
         self.n_probe = n_probe
@@ -366,6 +385,7 @@ class IVFIndex:
         self.device = device
         self.vector_dtype = vector_dtype
         self.seed = seed
+        self.assign_mode = assign_mode
         self.metas: List[Dict[str, Any]] = []
         self._centers: Optional[jax.Array] = None     # [C, D] f32
         self._clusters: Optional[jax.Array] = None    # [C, Smax, D]
@@ -446,8 +466,15 @@ class IVFIndex:
         n = vecs_dev.shape[0]
         block = min(16384, n)
         n_trim = (n // block) * block
-        assign = np.asarray(_balanced_assign(vecs_dev[:n_trim], centers_dev,
-                                             block_n=block))
+        if self.assign_mode == "spill":
+            assign = np.asarray(
+                _assign_blocked(vecs_dev[:n_trim], centers_dev, block_n=block)
+            )
+        else:
+            assign = np.asarray(
+                _balanced_assign(vecs_dev[:n_trim], centers_dev,
+                                 block_n=block)
+            )
         if n_trim < n:
             tail = np.asarray(jnp.argmax(jax.lax.dot_general(
                 vecs_dev[n_trim:], centers_dev, (((1,), (1,)), ((), ())),

@@ -106,12 +106,19 @@ class RAGEngine:
             on_tpu = dev.platform == "tpu"
             # Serving mode: bf16 storage + native matmul precision on TPU
             # (exact ranking up to sub-1e-3 ties); the oracle mode stays
-            # available via FlatIndex(exact=True) directly.
+            # available via FlatIndex(exact=True) directly. int8_vectors
+            # opts into quantized storage (DESIGN.md §2b).
+            if self.cfg.int8_vectors:
+                dtype = _jnp.int8
+            elif on_tpu:
+                dtype = _jnp.bfloat16
+            else:
+                dtype = _jnp.float32
             return FlatIndex(
                 embed_dim=self.cfg.model.embed_dim,
                 device=self.device,
-                dtype=_jnp.bfloat16 if on_tpu else _jnp.float32,
-                exact=not on_tpu,
+                dtype=dtype,
+                exact=not on_tpu and not self.cfg.int8_vectors,
             )
         if self.cfg.index_kind == "ivf":
             from sqe_tpu.index import IVFIndex

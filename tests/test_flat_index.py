@@ -83,3 +83,60 @@ def test_preallocated_growth_and_inplace_insert(rng, cpu_device):
     _, ref_ids = _numpy_topk(all_vecs, all_vecs[:3], 7)
     _, ids = idx.search_ids(all_vecs[:3], 7)
     np.testing.assert_array_equal(np.sort(ids, 1), np.sort(ref_ids, 1))
+
+
+def test_int8_storage_mode(rng, cpu_device):
+    """int8 FlatIndex: quantized storage, dequant CPU search path,
+    incremental donated inserts on both buffers, dequantized
+    valid_vectors() for checkpointing."""
+    import jax.numpy as jnp
+
+    n, d, q, k = 500, 64, 6, 8
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    metas = [{"doc_id": f"d{i}", "text": ""} for i in range(n)]
+    idx = FlatIndex(embed_dim=d, block_n=128, device=cpu_device,
+                    dtype=jnp.int8, exact=False)
+    idx.add(vecs[:400], metas[:400])
+    cap = idx.vectors.shape[0]
+    assert cap >= 512
+    idx.add(vecs[400:], metas[400:])          # in-place donated insert
+    assert idx.vectors.shape[0] == cap
+    assert idx.vectors.dtype == jnp.int8
+    assert idx._scales.shape == (cap, 1)
+
+    scores, ids = idx.search_ids(queries, k)
+    ref_scores, ref_ids = _numpy_topk(vecs, queries, k)
+    # int8 quantization flips only near-ties; compare by score tolerance.
+    exact_of_got = _exact_scores(vecs, queries, ids)
+    kth = ref_scores[:, k - 1:k]
+    assert (exact_of_got >= kth - 5e-2).all()
+    # Returned scores are calibrated (approximate cosine).
+    np.testing.assert_allclose(scores, exact_of_got, atol=5e-2)
+    # Checkpoint view dequantizes.
+    vv = np.asarray(idx.valid_vectors())
+    assert vv.shape == (n, d) and vv.dtype == np.float32
+    vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-9)
+    np.testing.assert_allclose(vv, vn, atol=1e-2)
+
+
+def _exact_scores(vecs, queries, ids):
+    vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-9)
+    qn = queries / (np.linalg.norm(queries, axis=1, keepdims=True) + 1e-9)
+    return np.take_along_axis(qn @ vn.T, ids, axis=1)
+
+
+def test_int8_engine_config(rng):
+    """EngineConfig.int8_vectors flows through to an int8 flat index."""
+    import jax.numpy as jnp
+
+    from sqe_tpu.config import EngineConfig, ModelConfig
+    from sqe_tpu.serving.engine import RAGEngine
+
+    cfg = EngineConfig(model=ModelConfig(
+        d_model=32, n_layers=1, n_heads=2, d_ff=64, max_len=16,
+        vocab_size=256, embed_dim=32,
+    ), int8_vectors=True)
+    engine = RAGEngine(cfg)
+    idx = engine._new_index()
+    assert idx.dtype == jnp.int8 and idx._int8 and not idx.exact
