@@ -34,6 +34,42 @@ from jax.experimental.pallas import tpu as pltpu
 BIN = 128  # candidate bin width = one VPU lane row
 
 
+# Packed bitcast-max selection constants: scores (cosines, |s| <= ~1.02)
+# are shifted by +_PACK_OFF so every valid value is a positive float whose
+# int32 bit pattern orders identically to its float value; the low 7
+# mantissa bits are replaced by (127 - lane) so ONE integer max-reduction
+# yields both the bin max and its lane (ties break to the smallest lane,
+# matching argmax-first-occurrence). Masked/invalid lanes pack to tiny
+# positive ints (< _PACK_MIN) and decode back to -inf. Clearing 7 mantissa
+# bits underestimates a returned score by < 6.1e-5 at this exponent — far
+# below the bf16 scoring noise (~1e-3).
+_PACK_OFF = 4.0
+
+
+def _packed_bin_top1(s, base, valid_n, *, bq: int, bn: int):
+    """Shared packed selection: s [BQ, BN] f32 (approximate cosines) ->
+    (scores [BQ, L], global ids [BQ, L]) with one reduction per bin."""
+    bitcast = jax.lax.bitcast_convert_type
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bq, BIN), 1)
+    lanes_rev = BIN - 1 - lanes
+    pack_min = jnp.int32(0x40000000)                     # bitcast(2.0f)
+    out_s = []
+    out_i = []
+    for l in range(bn // BIN):
+        # Static lane-aligned slice: no relayout.
+        chunk = s[:, l * BIN:(l + 1) * BIN]
+        gids = base + l * BIN + lanes
+        shifted = jnp.where(gids < valid_n, chunk + _PACK_OFF, 0.0)
+        packed = (bitcast(shifted, jnp.int32) & ~jnp.int32(BIN - 1)) | lanes_rev
+        m = jnp.max(packed, axis=1, keepdims=True)       # [BQ, 1] int32
+        valid = m >= pack_min
+        lane = (BIN - 1) - (m & jnp.int32(BIN - 1))
+        score = bitcast(m & ~jnp.int32(BIN - 1), jnp.float32) - _PACK_OFF
+        out_s.append(jnp.where(valid, score, -jnp.inf))
+        out_i.append(jnp.where(valid, base + l * BIN + lane, 0))
+    return jnp.concatenate(out_s, axis=1), jnp.concatenate(out_i, axis=1)
+
+
 def _scan_kernel(
     valid_ref,   # [1, 1] int32 in SMEM: number of real corpus rows
     q_ref,       # [BQ, D] bf16 query tile (resident across the i axis)
@@ -53,23 +89,9 @@ def _scan_kernel(
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (bq, BIN), 1)
-    out_s = []
-    out_i = []
-    for l in range(bn // BIN):
-        # Static lane-aligned slice: no relayout.
-        chunk = s[:, l * BIN:(l + 1) * BIN]
-        gids = base + l * BIN + lanes
-        chunk = jnp.where(gids < valid_n, chunk, -jnp.inf)
-        m = jnp.max(chunk, axis=1, keepdims=True)              # [BQ, 1]
-        # argmax via min-index-of-max (no native argmax relayout).
-        am = jnp.min(
-            jnp.where(chunk >= m, lanes, BIN), axis=1, keepdims=True
-        )
-        out_s.append(m)
-        out_i.append(base + l * BIN + am)
-    s_out[0] = jnp.concatenate(out_s, axis=1)
-    i_out[0] = jnp.concatenate(out_i, axis=1)
+    cs, ci = _packed_bin_top1(s, base, valid_n, bq=bq, bn=bn)
+    s_out[0] = cs
+    i_out[0] = ci
 
 
 @functools.partial(
@@ -138,9 +160,10 @@ def fused_scan_candidates(
 def _scan_kernel_int8(
     valid_ref,   # [1, 1] int32 in SMEM
     q_ref,       # [BQ, D] int8 query tile
+    qs_ref,      # [BQ, 1] f32 per-query scales
     v_ref,       # [BN, D] int8 vector tile
     vs_ref,      # [1, BN] f32 per-row vector scales
-    s_out,       # [1, BQ, L] f32 candidate scores (query-scale NOT applied)
+    s_out,       # [1, BQ, L] f32 candidate scores (calibrated ~cosine)
     i_out,       # [1, BQ, L] int32 candidate ids
     *,
     bq: int,
@@ -149,31 +172,18 @@ def _scan_kernel_int8(
     i = pl.program_id(0)
     valid_n = valid_ref[0, 0]
     base = i * bn
-    # Int8 MXU contraction (2x bf16 rate on v5e) -> i32 accumulators.
+    # Int8 MXU contraction (2x bf16 rate on v5e) -> i32 accumulators,
+    # dequantized to ~cosine with both scale factors (the packed selection
+    # needs cosine-ranged values).
     s = jax.lax.dot_general(
         q_ref[:], v_ref[:],
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
-    # Per-vector dequant scale. The per-QUERY scale is constant along the
-    # reduction axis of every comparison below, so it is applied outside
-    # the kernel (ordering is invariant to it).
-    s = s * vs_ref[0][None, :]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (bq, BIN), 1)
-    out_s = []
-    out_i = []
-    for l in range(bn // BIN):
-        chunk = s[:, l * BIN:(l + 1) * BIN]
-        gids = base + l * BIN + lanes
-        chunk = jnp.where(gids < valid_n, chunk, -jnp.inf)
-        m = jnp.max(chunk, axis=1, keepdims=True)
-        am = jnp.min(
-            jnp.where(chunk >= m, lanes, BIN), axis=1, keepdims=True
-        )
-        out_s.append(m)
-        out_i.append(base + l * BIN + am)
-    s_out[0] = jnp.concatenate(out_s, axis=1)
-    i_out[0] = jnp.concatenate(out_i, axis=1)
+    s = s * vs_ref[0][None, :] * qs_ref[:]
+    cs, ci = _packed_bin_top1(s, base, valid_n, bq=bq, bn=bn)
+    s_out[0] = cs
+    i_out[0] = ci
 
 
 def quantize_rows(x: jax.Array):
@@ -208,6 +218,7 @@ def fused_scan_topk_int8(
     b_pad = -(-b // bq) * bq
     q_i8, q_scales = quantize_rows(queries.astype(jnp.float32))
     q = jnp.zeros((b_pad, d), jnp.int8).at[:b].set(q_i8)
+    qs = jnp.zeros((b_pad, 1), jnp.float32).at[:b].set(q_scales)
     vs_row = vscales.reshape(1, n)
     nb = n // bn
     l = bn // BIN
@@ -217,6 +228,8 @@ def fused_scan_topk_int8(
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((bq, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -239,14 +252,13 @@ def fused_scan_topk_int8(
             jax.ShapeDtypeStruct((nb, b_pad, l), jnp.int32),
         ],
         interpret=interpret,
-    )(valid_n.reshape(1, 1).astype(jnp.int32), q, vectors_i8, vs_row)
+    )(valid_n.reshape(1, 1).astype(jnp.int32), q, qs, vectors_i8, vs_row)
     cs = cs.transpose(1, 0, 2).reshape(b_pad, nb * l)[:b]
     ci = ci.transpose(1, 0, 2).reshape(b_pad, nb * l)[:b]
     k_eff = min(k, cs.shape[1])
     ms, sel = jax.lax.top_k(cs, k_eff)
     mi = jnp.take_along_axis(ci, sel, axis=1)
     mi = jnp.where(jnp.isfinite(ms), mi, -1)
-    ms = ms * q_scales  # calibrate: scores ~= cosine
     if k_eff < k:
         pad = k - k_eff
         ms = jnp.pad(ms, ((0, 0), (0, pad)), constant_values=-jnp.inf)
@@ -295,27 +307,36 @@ def fused_scan_topk(
     return ms, mi
 
 
+def packed_bins_reference(s, valid_mask):
+    """Bit-exact XLA replica of the kernel's packed bin-top-1 selection:
+    s [B, N] f32 approximate cosines, valid_mask [B, N] bool.
+    Returns (bin scores [B, N//BIN], global bin-argmax ids [B, N//BIN])."""
+    bitcast = jax.lax.bitcast_convert_type
+    b, n = s.shape
+    shifted = jnp.where(valid_mask, s + _PACK_OFF, 0.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, n // BIN, BIN), 2)
+    packed = (
+        bitcast(shifted, jnp.int32).reshape(b, n // BIN, BIN)
+        & ~jnp.int32(BIN - 1)
+    ) | (BIN - 1 - lane)
+    m = jnp.max(packed, axis=2)
+    valid = m >= jnp.int32(0x40000000)
+    lanes = (BIN - 1) - (m & jnp.int32(BIN - 1))
+    scores = bitcast(m & ~jnp.int32(BIN - 1), jnp.float32) - _PACK_OFF
+    gids = jnp.arange(0, n, BIN, dtype=jnp.int32)[None, :] + lanes
+    return (jnp.where(valid, scores, -jnp.inf),
+            jnp.where(valid, gids, 0))
+
+
 def fused_scan_reference(queries, vectors, valid_n, *, k):
-    """XLA oracle with identical bin-top-1 semantics (kernel parity tests)."""
+    """XLA oracle with identical packed bin-top-1 semantics (parity tests)."""
     n, d = vectors.shape
     s = jnp.dot(
         queries.astype(jnp.bfloat16), vectors.T,
         preferred_element_type=jnp.float32,
     )
     ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(ids < valid_n, s, -jnp.inf)
-    b = s.shape[0]
-    sb = s.reshape(b, n // BIN, BIN)
-    m = jnp.max(sb, axis=2)
-    am = jnp.argmin(
-        jnp.where(
-            sb >= m[..., None],
-            jax.lax.broadcasted_iota(jnp.int32, sb.shape, 2),
-            BIN,
-        ),
-        axis=2,
-    ).astype(jnp.int32)
-    gids = jnp.arange(0, n, BIN, dtype=jnp.int32)[None, :] + am
+    m, gids = packed_bins_reference(s, ids < valid_n)
     ms, sel = jax.lax.top_k(m, min(k, m.shape[1]))
     mi = jnp.take_along_axis(gids, sel, axis=1)
     mi = jnp.where(jnp.isfinite(ms), mi, -1)

@@ -42,6 +42,7 @@ from sqe_tpu.config import HNSWConfig
 from sqe_tpu.data.corpus import Chunk
 from sqe_tpu.index import hnsw_build
 from sqe_tpu.index.flat import flat_topk
+from sqe_tpu.ops.fused_scan import fused_scan_topk, pick_bn
 from sqe_tpu.index.hnsw import hnsw_search_batch
 from sqe_tpu.ops.distance import l2_normalize
 
@@ -110,12 +111,21 @@ class ShardedFlatIndex:
         axis: str = "shard",
         block_n: int = 131072,
         approx_topk: bool = False,
+        vector_dtype: Any = jnp.float32,
+        scan_impl: str = "auto",
     ):
+        """``vector_dtype=jnp.bfloat16`` + ``scan_impl="auto"`` runs each
+        shard's scan through the fused Pallas kernel on TPU (DESIGN.md §2b);
+        the all_gather merge is unchanged. CPU meshes always use the blocked
+        scan (bit-equivalence gate, tests/test_sharded.py)."""
+        assert scan_impl in ("auto", "blocked")
         self.mesh = mesh
         self.axis = axis
         self.embed_dim = embed_dim
         self.block_n = block_n
         self.approx_topk = approx_topk
+        self.vector_dtype = vector_dtype
+        self.scan_impl = scan_impl
         self.n_shards = mesh.shape[axis]
         self.metas: List[Dict[str, Any]] = []
         self._vectors: Optional[jax.Array] = None  # [ns*S, D] sharded
@@ -158,7 +168,9 @@ class ShardedFlatIndex:
         with self.lock:
             vsh = NamedSharding(self.mesh, P(self.axis, None))
             ssh = NamedSharding(self.mesh, P(self.axis))
-            self._vectors = jax.device_put(jnp.asarray(padded), vsh)
+            self._vectors = jax.device_put(
+                jnp.asarray(padded, dtype=self.vector_dtype), vsh
+            )
             self._gids = jax.device_put(jnp.asarray(gids), ssh)
             self._counts_dev = jax.device_put(
                 jnp.asarray(counts, dtype=jnp.int32), ssh
@@ -253,7 +265,8 @@ class ShardedFlatIndex:
                 self._insert_fn[b_pad] = fn
             self._vectors, self._gids, self._counts_dev = fn(
                 self._vectors, self._gids, self._counts_dev,
-                jax.device_put(jnp.asarray(upd.reshape(-1, self.embed_dim)), vsh),
+                jax.device_put(jnp.asarray(upd.reshape(-1, self.embed_dim),
+                           dtype=self.vector_dtype), vsh),
                 jax.device_put(jnp.asarray(upd_g.reshape(-1)), ssh),
                 jax.device_put(jnp.asarray(quota, dtype=jnp.int32), ssh),
             )
@@ -272,11 +285,25 @@ class ShardedFlatIndex:
         axis = self.axis
         block = min(self.block_n, cap)
 
+        use_fused = (
+            self.scan_impl == "auto"
+            and jnp.dtype(self.vector_dtype) == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and pick_bn(cap) and cap // 128 >= 16 * k
+        )
+
         def local(q, vecs, gids, counts):
             valid_local = counts[0]
-            scores, ids = flat_topk(q, vecs, valid_local, k=k, block_n=block,
-                                    exact=False,
-                                    approx_topk=self.approx_topk)
+            if use_fused:
+                # Per-shard fused Pallas scan (DESIGN.md §2b); the cross-
+                # shard all_gather merge below is identical either way.
+                scores, ids = fused_scan_topk(
+                    q, vecs, valid_local, k=k, bn=pick_bn(cap)
+                )
+            else:
+                scores, ids = flat_topk(q, vecs, valid_local, k=k,
+                                        block_n=block, exact=False,
+                                        approx_topk=self.approx_topk)
             g = jnp.where(ids >= 0, jnp.take(gids, jnp.maximum(ids, 0)), -1)
             scores = jnp.where(g >= 0, scores, -jnp.inf)
             all_s = jax.lax.all_gather(scores, axis, axis=1, tiled=True)

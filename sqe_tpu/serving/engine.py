@@ -92,8 +92,13 @@ class RAGEngine:
             from sqe_tpu.parallel import ShardedFlatIndex, ShardedHNSWIndex
 
             if self.cfg.index_kind == "flat":
+                import jax as _jax
+                import jax.numpy as _jnp
+
+                on_tpu = _jax.default_backend() == "tpu"
                 return ShardedFlatIndex(
-                    self.mesh, embed_dim=self.cfg.model.embed_dim
+                    self.mesh, embed_dim=self.cfg.model.embed_dim,
+                    vector_dtype=_jnp.bfloat16 if on_tpu else _jnp.float32,
                 )
             return ShardedHNSWIndex(
                 self.mesh, self.cfg.hnsw, embed_dim=self.cfg.model.embed_dim

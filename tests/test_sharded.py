@@ -134,3 +134,22 @@ def test_sharded_hnsw_incremental_add_recall(data, cpu_mesh, cpu_device):
     assert _recall(i, ref_i) >= 0.95
     res = idx.search(vecs[n0 + 7 : n0 + 8], k=1)
     assert res[0][0]["doc_id"] == f"d{n0 + 7}"
+
+
+def test_sharded_flat_bf16_dtype(rng, cpu_mesh):
+    """vector_dtype=bfloat16 propagates through build + donated inserts and
+    search remains correct (bf16 tie-tolerance)."""
+    import jax.numpy as jnp
+
+    from sqe_tpu.parallel import ShardedFlatIndex
+
+    n, d, k = 256, 32, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    metas = [{"doc_id": str(i), "text": ""} for i in range(n)]
+    idx = ShardedFlatIndex(cpu_mesh, embed_dim=d, vector_dtype=jnp.bfloat16)
+    idx.build(vecs[:200], metas[:200])
+    idx.add(vecs[200:], metas[200:])
+    assert idx._vectors.dtype == jnp.bfloat16
+    scores, ids = idx.search_ids(vecs[:4], k)
+    assert (ids[:, 0] == np.arange(4)).all()      # self-match survives bf16
+    assert (scores[:, 0] > 0.99).all()
