@@ -100,10 +100,12 @@ class EngineConfig:
     corpus_dir: str = "PMC"      # reference defaulted to "notes" but filtered PMC*.txt (B4)
     chunk_size: int = 512        # words per chunk (main.py:37)
     batch_size: int = 64         # embed batch (main.py:36)
-    # "flat" (exact MXU scan — the winning TPU design up to ~1M vectors/chip,
+    # "flat" (exact MXU scan — the winning TPU design up to ~4M vectors/chip,
     # recall 1.0; DESIGN.md §8) | "ivf" (MXU k-means clusters + Pallas probed
-    # scoring — small-batch latency and very large N; DESIGN.md §8b) | "hnsw"
-    # (graph ANN, kept for parity with the reference's nmslib engine).
+    # scoring — beyond the scan's HBM/latency envelope; DESIGN.md §8b) |
+    # "hnsw" (graph ANN, kept for parity with the reference's nmslib engine)
+    # | "auto" (router: flat while the per-device corpus fits HBM and the
+    # scan meets the latency contract, ivf past that — index/router.py).
     index_kind: str = "flat"
     # int8 flat-index storage: half the HBM per vector + the int8 MXU rate
     # via the fused int8 scan kernel, at ~0.96 epsilon-recall (DESIGN.md §2b).

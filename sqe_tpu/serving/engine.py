@@ -91,7 +91,10 @@ class RAGEngine:
         if self.mesh is not None:
             from sqe_tpu.parallel import ShardedFlatIndex, ShardedHNSWIndex
 
-            if self.cfg.index_kind == "flat":
+            if self.cfg.index_kind in ("flat", "auto"):
+                # Sharding already divides N per chip; the per-shard fused
+                # scan is the measured winner at every per-chip scale a mesh
+                # produces (DESIGN.md §8), so "auto" means flat here.
                 import jax as _jax
                 import jax.numpy as _jnp
 
@@ -103,7 +106,18 @@ class RAGEngine:
             return ShardedHNSWIndex(
                 self.mesh, self.cfg.hnsw, embed_dim=self.cfg.model.embed_dim
             )
-        if self.cfg.index_kind == "flat":
+        if self.cfg.index_kind == "auto":
+            from sqe_tpu.index import AutoIndex
+
+            return AutoIndex(
+                self._make_index_of_kind,
+                embed_dim=self.cfg.model.embed_dim,
+                int8=self.cfg.int8_vectors,
+            )
+        return self._make_index_of_kind(self.cfg.index_kind)
+
+    def _make_index_of_kind(self, kind: str) -> Any:
+        if kind == "flat":
             import jax as _jax
             import jax.numpy as _jnp
 
@@ -125,7 +139,7 @@ class RAGEngine:
                 dtype=dtype,
                 exact=not on_tpu and not self.cfg.int8_vectors,
             )
-        if self.cfg.index_kind == "ivf":
+        if kind == "ivf":
             from sqe_tpu.index import IVFIndex
 
             return IVFIndex(
@@ -536,6 +550,8 @@ class RAGEngine:
         out["index"] = {
             ns: len(idx) for ns, idx in self.indices.items()
         }
+        # With index_kind="auto" the router's actual choice is the useful fact.
+        out["index_kind"] = getattr(self.index, "kind", None) or self.cfg.index_kind
         out["cache"] = {
             "size": len(self.cache),
             "hits": self.cache.hits,
