@@ -209,6 +209,37 @@ class RAGEngine:
             self._journal_obj = ckpt.IngestJournal(self.cfg.checkpoint_dir)
         return self._journal_obj
 
+    def _cache_journal(self) -> Optional[ckpt.CacheJournal]:
+        if not self.cfg.checkpoint_dir:
+            return None
+        if getattr(self, "_cache_journal_obj", None) is None:
+            self._cache_journal_obj = ckpt.CacheJournal(self.cfg.checkpoint_dir)
+        return self._cache_journal_obj
+
+    def _cache_put(self, query_emb: np.ndarray, answer: str) -> None:
+        """Cache an answer and journal it for restart parity (the reference's
+        Redis kept cached answers durable across restarts, app/main.py:53-128;
+        the checkpoint snapshot alone would forget puts since the last save)."""
+        self.cache.put(query_emb, answer)
+        cj = self._cache_journal()
+        if cj is not None:
+            cj.append(np.asarray(query_emb, np.float32).reshape(-1), answer)
+
+    def replay_cache_journal(self) -> int:
+        """Re-apply journaled cache puts on top of the restored snapshot."""
+        cj = self._cache_journal()
+        if cj is None:
+            return 0
+        n = 0
+        for rec in cj.entries():
+            if rec["emb"].shape[0] != self.cfg.model.embed_dim:
+                continue   # journaled under a different model config
+            self.cache.put(rec["emb"], rec["response"])
+            n += 1
+        if n:
+            log.info("replayed %d journaled cache entries", n)
+        return n
+
     def ingest_document(
         self,
         doc_id: str,
@@ -313,6 +344,9 @@ class RAGEngine:
             jr = self._journal()
             if jr is not None:
                 jr.compact()   # everything journaled is now durably saved
+            cj = self._cache_journal()
+            if cj is not None:
+                cj.compact()   # cache snapshot covers every journaled put
         log.info("checkpoint saved to %s (%d namespaces)", path, len(self.indices))
 
     def save_namespace(self, namespace: str, path: Optional[str] = None) -> None:
@@ -399,6 +433,8 @@ class RAGEngine:
         cache_state = ckpt.load_cache(path)
         if cache_state is not None:
             self.cache.restore(cache_state)
+        if path == self.cfg.checkpoint_dir:
+            self.replay_cache_journal()
         log.info(
             "checkpoint loaded from %s (%d vectors, %d namespaces)",
             path, len(idx), len(self.indices),
@@ -503,7 +539,7 @@ class RAGEngine:
 
         if memory is not None:
             memory.save_context(query, answer)
-        self.cache.put(query_emb, answer)
+        self._cache_put(query_emb, answer)
         return answer
 
     async def ask_stream(
@@ -543,7 +579,7 @@ class RAGEngine:
         if final.strip() and not final.startswith("[ERROR]"):
             if memory is not None:
                 memory.save_context(query, final)
-            self.cache.put(query_emb, final)
+            self._cache_put(query_emb, final)
 
     def stats(self) -> dict:
         out = self.metrics.summary()

@@ -188,3 +188,64 @@ class IngestJournal:
         """Drop all entries (call only after their state is durably saved)."""
         if os.path.exists(self.path):
             os.remove(self.path)
+
+
+class CacheJournal:
+    """Append-only journal of semantic-cache puts since the last checkpoint.
+
+    ``save_cache`` persists the full device cache state (keys, LFU
+    frequencies, responses), but answers cached *between* checkpoints lived
+    only in memory — a restart forgot them and re-paid generation for every
+    recently-asked query (the reference kept this state durable inside Redis,
+    app/main.py:53-128). Each put appends (embedding, response) — fsync'd —
+    on the generation path (where seconds-scale LLM latency dwarfs the
+    write); startup replays the journal on top of the restored snapshot and
+    a successful checkpoint compacts it. LFU bumps between checkpoints are
+    deliberately NOT journaled: an fsync per cache *hit* would put disk on
+    the fast path to save one int, and eviction order self-heals with use.
+    """
+
+    def __init__(self, ckpt_dir: str):
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self.path = os.path.join(ckpt_dir, "cache_journal.jsonl")
+
+    def append(self, emb: np.ndarray, response: str) -> None:
+        import base64
+
+        rec = json.dumps({
+            "emb": base64.b64encode(
+                np.asarray(emb, np.float32).tobytes()
+            ).decode("ascii"),
+            "response": response,
+        })
+        with open(self.path, "a", encoding="utf-8") as f:
+            f.write(rec + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def entries(self) -> List[Dict[str, Any]]:
+        import base64
+
+        if not os.path.exists(self.path):
+            return []
+        out: List[Dict[str, Any]] = []
+        with open(self.path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                    rec["emb"] = np.frombuffer(
+                        base64.b64decode(rec["emb"]), np.float32
+                    )
+                except (json.JSONDecodeError, KeyError, ValueError):
+                    # torn tail write from a crash mid-append: ignore
+                    continue
+                out.append(rec)
+        return out
+
+    def compact(self) -> None:
+        """Drop all entries (call only after a full cache snapshot saved)."""
+        if os.path.exists(self.path):
+            os.remove(self.path)

@@ -194,3 +194,34 @@ def test_ingest_journal_replay_after_crash(small_engine_cfg, cpu_device,
     assert eng3.load_checkpoint()
     assert eng3.replay_journal() == 0
     assert any(m["doc_id"] == "crashdoc" for m in eng3.get_index("u5").metas)
+
+
+def test_cache_journal_restart_parity(small_engine_cfg, cpu_device, tmp_path):
+    """Answers cached between checkpoints survive a restart via the cache
+    journal: SIGKILL after an /ask still leaves the cached answer durable."""
+    cfg = small_engine_cfg.with_overrides(checkpoint_dir=str(tmp_path / "cc"))
+    eng = RAGEngine(cfg, device=cpu_device, backend=EchoBackend())
+    eng.ingest_chunks([Chunk(f"PMC{i}.txt", 0, f"doc {i} about gene{i}")
+                       for i in range(8)])
+    eng.save_checkpoint()
+
+    # Two asks AFTER the checkpoint: snapshot alone would forget them.
+    q = "what regulates gene3"
+    first = asyncio.run(eng.ask(q, chat_id="c1"))
+    asyncio.run(eng.ask("tell me about gene5", chat_id="c1"))
+    assert len(eng._cache_journal().entries()) == 2
+
+    # "Restart": a fresh engine restores snapshot + replays the journal.
+    eng2 = RAGEngine(cfg, device=cpu_device, backend=EchoBackend())
+    assert eng2.load_checkpoint()
+    assert len(eng2.cache) == 2
+    hits_before = eng2.cache.hits
+    assert asyncio.run(eng2.ask(q, chat_id="cX")) == first
+    assert eng2.cache.hits == hits_before + 1   # served from cache, no misses
+
+    # A full checkpoint compacts the journal; entries stay in the snapshot.
+    eng2.save_checkpoint()
+    assert eng2._cache_journal().entries() == []
+    eng3 = RAGEngine(cfg, device=cpu_device, backend=EchoBackend())
+    assert eng3.load_checkpoint()
+    assert len(eng3.cache) == 2
