@@ -8,6 +8,12 @@ this router:
 
 - background health loop probes every replica's ``/health``;
 - requests go to healthy replicas round-robin;
+- requests carrying a chat identity are STICKY: chat memory lives inside a
+  replica process (as the reference's did, app/main.py:483-489), so
+  ``(user_id, chat_id)`` maps to a replica by rendezvous (highest-random-
+  weight) hashing over the healthy pool — the same chat keeps hitting the
+  same replica, failover deterministically walks to the next-highest weight
+  while it's down, and the original assignment resumes on recovery;
 - a failed request fails over to the next healthy replica within the same
   request (the client sees one answer or one 503, never a half-dead hop);
 - replicas that recover are picked up automatically by the next probe.
@@ -18,6 +24,7 @@ Run: ``python -m sqe_tpu router --backends=host1:8000,host2:8000 --port=8080``
 from __future__ import annotations
 
 import asyncio
+import hashlib
 import itertools
 import json
 from typing import Dict, List, Optional
@@ -53,10 +60,23 @@ class ReplicaRouter:
 
     # ------------------------------------------------------------------ state
 
-    def _candidates(self) -> List[str]:
+    @staticmethod
+    def _hrw(key: str, backend: str) -> int:
+        """Rendezvous weight: stable across pool-membership changes, so a
+        replica outage only remaps the chats that lived on it."""
+        return int.from_bytes(
+            hashlib.blake2b(
+                f"{key}|{backend}".encode(), digest_size=8
+            ).digest(), "big",
+        )
+
+    def _candidates(self, sticky_key: Optional[str] = None) -> List[str]:
         up = [b for b in self.backends if self.healthy[b]]
         # All down: optimistically try everything (a probe may be stale).
         pool = up or self.backends
+        if sticky_key is not None:
+            return sorted(pool, key=lambda b: self._hrw(sticky_key, b),
+                          reverse=True)
         start = next(self._rr) % len(pool)
         return pool[start:] + pool[:start]
 
@@ -86,10 +106,23 @@ class ReplicaRouter:
 
     # ----------------------------------------------------------------- proxy
 
+    @staticmethod
+    def sticky_key_from_body(body: bytes) -> Optional[str]:
+        """(user_id, chat_id) identity from an /ask JSON body, or None for
+        chat-free requests (those stay round-robin)."""
+        try:
+            payload = json.loads(body)
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return None
+        if not isinstance(payload, dict) or not payload.get("chat_id"):
+            return None
+        return f"{payload.get('user_id', '')}\x00{payload['chat_id']}"
+
     async def forward(self, method: str, path: str, body: bytes,
-                      content_type: str) -> Response:
+                      content_type: str,
+                      sticky_key: Optional[str] = None) -> Response:
         last_err: Optional[Exception] = None
-        for backend in self._candidates():
+        for backend in self._candidates(sticky_key):
             try:
                 r = await self._client.request(
                     method, f"{backend}{path}", content=body,
@@ -130,6 +163,7 @@ class ReplicaRouter:
             return await self.forward(
                 "POST", "/ask", req.body,
                 req.headers.get("content-type", "application/json"),
+                sticky_key=self.sticky_key_from_body(req.body),
             )
 
         @router.route("POST", "/upload_text")

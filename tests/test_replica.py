@@ -95,3 +95,76 @@ def test_router_all_down_503(engines):
             await rr.stop()
 
     asyncio.run(main())
+
+
+def test_sticky_sessions_chat_affinity(engines):
+    """Requests with a chat identity stick to one replica (chat memory lives
+    per-process); chat-free requests stay round-robin; a dead sticky replica
+    fails over deterministically and resumes on recovery."""
+    import httpx
+
+    e1, e2 = engines
+
+    async def main():
+        s1 = Server(build_router(e1), "127.0.0.1", P1)
+        s2 = Server(build_router(e2), "127.0.0.1", P2)
+        await s1.start()
+        await s2.start()
+        rr = ReplicaRouter([f"127.0.0.1:{P1}", f"127.0.0.1:{P2}"],
+                           health_interval_s=0.2, request_timeout_s=10.0)
+        await rr.start()
+        try:
+            # Candidate order for one chat is stable call-to-call...
+            key = rr.sticky_key_from_body(
+                json.dumps({"user_id": "u1", "chat_id": "c7",
+                            "query": "x"}).encode())
+            assert key is not None
+            order = rr._candidates(key)
+            for _ in range(5):
+                assert rr._candidates(key) == order
+            # ...while chat-free requests rotate.
+            assert rr.sticky_key_from_body(b'{"query": "x"}') is None
+            assert rr._candidates() != rr._candidates() or \
+                len(rr.backends) == 1
+
+            # Different chats spread: with 2 replicas some key maps to each.
+            firsts = {
+                rr._candidates(rr.sticky_key_from_body(
+                    json.dumps({"chat_id": f"c{i}", "query": "x"}).encode()
+                ))[0]
+                for i in range(16)
+            }
+            assert len(firsts) == 2
+
+            # Sticky replica down -> deterministic failover target...
+            home = order[0]
+            rr.healthy[home] = False
+            assert rr._candidates(key) == [b for b in order if b != home]
+            # ...and the original assignment resumes on recovery.
+            rr.healthy[home] = True
+            assert rr._candidates(key) == order
+
+            # End-to-end through the proxy: chat memory accumulates on ONE
+            # replica across requests.
+            router_srv = Server(rr.build_router(), "127.0.0.1", PR + 2)
+            await router_srv.start()
+            try:
+                async with httpx.AsyncClient() as client:
+                    url = f"http://127.0.0.1:{PR + 2}"
+                    for i in range(3):
+                        r = await client.post(f"{url}/ask", json={
+                            "user_id": "u1", "chat_id": "sticky1",
+                            "query": f"unique affinity probe {i} kinase",
+                            "top_k": 2}, timeout=30)
+                        assert r.status_code == 200
+                mems = [len(e.memory.get("sticky1").turns)
+                        for e in (e1, e2)]
+                assert sorted(mems) == [0, 3]
+            finally:
+                await router_srv.stop()
+        finally:
+            await rr.stop()
+            await s1.stop()
+            await s2.stop()
+
+    asyncio.run(main())
