@@ -53,8 +53,10 @@ def _assign_blocked(vecs: jax.Array, centers: jax.Array,
     nb = n // block_n
 
     def body(_, block):
+        # Per-block f32 cast supports bf16-stored corpora (the cast transient
+        # is one block, not the corpus).
         s = jax.lax.dot_general(
-            block, centers, (((1,), (1,)), ((), ())),
+            block.astype(jnp.float32), centers, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return None, jnp.argmax(s, axis=1).astype(jnp.int32)
@@ -74,7 +76,8 @@ def _kmeans_step(vecs: jax.Array, centers: jax.Array, key: jax.Array,
     counts = jax.ops.segment_sum(
         jnp.ones_like(assign, jnp.float32), assign, num_segments=c
     )
-    sums = jax.ops.segment_sum(vecs, assign, num_segments=c)
+    sums = jax.ops.segment_sum(vecs.astype(jnp.float32), assign,
+                               num_segments=c)
     new_centers = l2_normalize(sums / jnp.maximum(counts, 1.0)[:, None])
     reseed = vecs[jax.random.randint(key, (c,), 0, vecs.shape[0])]
     return jnp.where((counts > 0)[:, None], new_centers, reseed)
@@ -102,7 +105,7 @@ def _balanced_assign(vecs: jax.Array, centers: jax.Array,
 
         def body(_, block):
             s = jax.lax.dot_general(
-                block, centers, (((1,), (1,)), ((), ())),
+                block.astype(jnp.float32), centers, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return None, jnp.argmax(s - penalty[None, :], axis=1).astype(jnp.int32)
@@ -477,7 +480,8 @@ class IVFIndex:
             )
         if n_trim < n:
             tail = np.asarray(jnp.argmax(jax.lax.dot_general(
-                vecs_dev[n_trim:], centers_dev, (((1,), (1,)), ((), ())),
+                vecs_dev[n_trim:].astype(jnp.float32), centers_dev,
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32), axis=1)).astype(np.int32)
             assign = np.concatenate([assign, tail])
         return assign

@@ -11,16 +11,17 @@ linear scan exceeds the latency budget even though it still fits.
 
 ``choose_index_kind`` encodes exactly that surface:
 
-- **flat** while the per-device corpus fits the HBM budget and the scan's
-  projected batch latency meets the budget.  Measured anchor: the fused bf16
-  kernel sustains ~17.7 ms per 1024-query batch at 1M rows (DESIGN.md §8),
-  i.e. ~17.3 us per (Mrow * batch-1024); cost extrapolates linearly in N.
+- **flat** while the per-device corpus fits the HBM budget and the projected
+  single-query scan latency meets the serve contract.  Measured anchors
+  (DESIGN.md §8/§8c): B=1024 batches cost ~17.7 ms/M rows; B=1 latency is
+  ~4.2 ms + 4.1 ms/M rows (bf16) — 20.6 ms at 4M, still inside the <50 ms
+  contract, so at 1024-d the HBM wall arrives before the latency wall.
 - **ivf** beyond that: probed-bytes search scales with ~n_probe/C of the
-  corpus rather than N (DESIGN.md §8b), and its capped-cluster layout keeps
-  HBM at ~1.25x vectors.  IVF's measured recall at 1M on clustered data is
-  0.81-0.96 depending on probe depth — the router only sends traffic there
-  when the exact scan cannot hold the latency contract, never for a marginal
-  throughput win.
+  corpus rather than N (DESIGN.md §8b).  Measured at 131k/1M/2M, IVF lost
+  to the fused scans at every recall-matched operating point, so the router
+  only sends traffic there when the scan cannot hold the latency contract
+  or the corpus exceeds the per-device HBM budget (where it is best-effort:
+  the real beyond-HBM answers are mesh sharding or int8 storage).
 - **hnsw** is never auto-selected: it is contract parity with the reference's
   engine, measured 3-30x behind the scans on TPU (DESIGN.md §8).
 
@@ -40,11 +41,15 @@ from sqe_tpu.utils.logging import get_logger
 
 log = get_logger("index.router")
 
-# Measured fused-scan throughput anchor (DESIGN.md §8, one v5e chip):
-# 17.7 ms / 1024-query batch at 1M x 1024-d bf16 => linear-in-N scan cost.
+# Measured fused-scan anchors (DESIGN.md §8/§8c, one v5e chip, 1024-d):
+# B=1024 batch: 17.7 ms at 1M, 34.6 at 2M, 63.6 at 4M (bf16) — linear in N.
 FUSED_SCAN_MS_PER_MROW_B1024 = 17.7
-# int8 kernel measured 13.8 ms at the same point (2x MXU rate, half HBM).
+# int8 kernel: 13.8 / 25.7 / 45.0 ms at the same points.
 INT8_SCAN_MS_PER_MROW_B1024 = 13.8
+# B=1 device latency: ~3.9 ms at 131k, 13.0 at 2M, 20.6 at 4M (bf16);
+# int8 10.5 at 2M, 15.3 at 4M. Linear fit: base + slope * Mrow.
+SCAN_B1_BASE_MS, SCAN_B1_MS_PER_MROW = 4.2, 4.1
+INT8_B1_BASE_MS, INT8_B1_MS_PER_MROW = 4.2, 2.8
 # Per-device HBM budget for resident corpus vectors: v5e has 16 GB; leave
 # headroom for the embedder, cache, score tiles and XLA workspace.
 HBM_VECTOR_BUDGET_BYTES = 8 << 30
@@ -53,9 +58,18 @@ HBM_VECTOR_BUDGET_BYTES = 8 << 30
 def scan_batch_ms(n_rows: int, *, embed_dim: int = 1024,
                   int8: bool = False) -> float:
     """Projected fused-scan latency (ms) for one 1024-query batch, linear
-    extrapolation from the measured 1M anchor."""
+    extrapolation from the measured anchors."""
     per_mrow = INT8_SCAN_MS_PER_MROW_B1024 if int8 else FUSED_SCAN_MS_PER_MROW_B1024
     return (n_rows / 1e6) * per_mrow * (embed_dim / 1024.0)
+
+
+def scan_b1_ms(n_rows: int, *, embed_dim: int = 1024,
+               int8: bool = False) -> float:
+    """Projected single-query scan latency (ms) — the serve-contract number
+    (a request retrieves once; batch throughput is a different axis)."""
+    base, slope = ((INT8_B1_BASE_MS, INT8_B1_MS_PER_MROW) if int8
+                   else (SCAN_B1_BASE_MS, SCAN_B1_MS_PER_MROW))
+    return base + (n_rows / 1e6) * slope * (embed_dim / 1024.0)
 
 
 def choose_index_kind(
@@ -69,17 +83,28 @@ def choose_index_kind(
 ) -> str:
     """Return "flat" or "ivf" for a corpus of ``n_rows`` over ``n_devices``.
 
-    ``scan_budget_ms`` is the latency contract for one 1024-query retrieval
-    batch (default: the BASELINE <50 ms end-to-end serve target — retrieval
-    may not spend more than the whole budget).  The exact scan is kept while
-    it fits both HBM and that contract; past either bound the router moves to
-    IVF, whose probed-bytes cost stays roughly flat in N.
+    ``scan_budget_ms`` is the single-query retrieval latency contract
+    (default: the BASELINE <50 ms end-to-end serve target — retrieval may
+    not spend more than the whole budget).  The exact scan is kept while it
+    fits HBM and that contract — which, measured through 4M rows/chip
+    (DESIGN.md §8c), it always does: B=1 scan latency is ~20.6 ms at 4M and
+    the HBM wall arrives before the latency wall at 1024-d.  Past either
+    bound the router moves to IVF, whose probed-bytes search cost stays
+    roughly flat in N (note the honest caveat: past the HBM wall no
+    single-device layout fits either — the real answer is mesh sharding
+    (DESIGN.md §6) or int8 storage; IVF is the best-effort single-device
+    fallback and the latency engine if a sub-scan budget is demanded).
     """
     per_dev = -(-n_rows // max(1, n_devices))
     bytes_per_row = embed_dim * (1 if int8 else 2)  # int8 vs bf16 storage
     if per_dev * bytes_per_row > hbm_budget_bytes:
+        log.warning(
+            "%d rows/device exceeds the %d GB HBM vector budget; routing to "
+            "ivf best-effort — prefer mesh sharding or int8 storage",
+            per_dev, hbm_budget_bytes >> 30,
+        )
         return "ivf"
-    if scan_batch_ms(per_dev, embed_dim=embed_dim, int8=int8) > scan_budget_ms:
+    if scan_b1_ms(per_dev, embed_dim=embed_dim, int8=int8) > scan_budget_ms:
         return "ivf"
     return "flat"
 

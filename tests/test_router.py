@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from sqe_tpu.index import AutoIndex, FlatIndex, IVFIndex, choose_index_kind
-from sqe_tpu.index.router import scan_batch_ms
+from sqe_tpu.index.router import scan_b1_ms, scan_batch_ms
 
 
 def test_choose_flat_at_config_scales():
@@ -30,11 +30,15 @@ def test_choose_ivf_past_hbm_budget():
 
 
 def test_choose_ivf_past_latency_budget():
-    # A tight latency contract forces ivf even when HBM would fit.
+    # A tight single-query latency contract forces ivf even when HBM fits.
     assert choose_index_kind(1_000_000, scan_budget_ms=5.0) == "ivf"
     assert scan_batch_ms(1_000_000) == pytest.approx(17.7)
-    # int8 scan is cheaper per row.
+    # Measured anchors: B=1 scan at 4M is ~20.6 ms — inside the default
+    # 50 ms contract, so at 1024-d the HBM wall binds before latency.
+    assert scan_b1_ms(4_194_304) == pytest.approx(20.6, abs=2.0)
+    # int8 scan is cheaper per row on both axes.
     assert scan_batch_ms(1_000_000, int8=True) < scan_batch_ms(1_000_000)
+    assert scan_b1_ms(4_000_000, int8=True) < scan_b1_ms(4_000_000)
 
 
 def _make(kind: str):
@@ -66,7 +70,7 @@ def test_auto_index_picks_flat_and_matches_contract():
 def test_auto_index_crossover_rebuild():
     # Force a tiny crossover so insert growth flips the router's choice.
     idx = AutoIndex(
-        _make, embed_dim=32, scan_budget_ms=scan_batch_ms(100, embed_dim=32)
+        _make, embed_dim=32, scan_budget_ms=scan_b1_ms(100, embed_dim=32)
     )
     vecs = _rows(64)
     idx.add(vecs, [{"doc_id": str(i), "text": ""} for i in range(64)])
