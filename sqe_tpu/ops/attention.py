@@ -239,12 +239,20 @@ def multihead_attention(
     dh = dm // h
     dtype = x.dtype
 
-    def proj(w):
-        y = jnp.einsum("bld,de->ble", x, w.astype(dtype))
-        # [B, L, D] -> [B*H, L, Dh]
-        return y.reshape(b, l, h, dh).transpose(0, 2, 1, 3).reshape(b * h, l, dh)
+    # Fused QKV: one [dm, 3*dm] contraction instead of three [dm, dm] ones —
+    # x streams through the MXU once (3x less activation HBM traffic) and the
+    # single wider matmul tiles better at d_model=512. The concat is a ~MB
+    # weight copy, negligible next to the [B*L, dm] x [dm, 3dm] dot.
+    wqkv = jnp.concatenate(
+        [wq.astype(dtype), wk.astype(dtype), wv.astype(dtype)], axis=1
+    )
+    y = jnp.einsum("bld,de->ble", x, wqkv)                        # [B, L, 3*dm]
 
-    q, k, v = proj(wq), proj(wk), proj(wv)
+    def heads(z):
+        # [B, L, D] -> [B*H, L, Dh]
+        return z.reshape(b, l, h, dh).transpose(0, 2, 1, 3).reshape(b * h, l, dh)
+
+    q, k, v = (heads(y[..., i * dm:(i + 1) * dm]) for i in range(3))
     bias = jnp.where(mask > 0, 0.0, NEG_INF).astype(jnp.float32)  # [B, L]
 
     if impl == "xla":
