@@ -42,7 +42,7 @@ NEG_INF = jnp.float32(-jnp.inf)
     jax.jit,
     static_argnames=(
         "k", "ef", "max_iters", "n_seeds", "expand", "fused_gather",
-        "approx_merge", "dedup_expansion",
+        "approx_merge", "dedup_expansion", "visited_impl",
     ),
 )
 def hnsw_search_batch(
@@ -61,6 +61,7 @@ def hnsw_search_batch(
     fused_gather: bool = False,
     approx_merge: bool = False,
     dedup_expansion: bool = False,
+    visited_impl: str = "compare",
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched beam search. Returns (scores [B, k], ids [B, k]).
 
@@ -73,6 +74,17 @@ def hnsw_search_batch(
     the neighbor-materialized ``nbr_vecs [N, M0, D]`` layout (one contiguous
     64KB DMA per expanded parent instead of M0 scattered row gathers) — ~6x
     the effective HBM bandwidth of the XLA gather+einsum lowering on TPU.
+
+    ``visited_impl`` selects the dedup mechanism:
+    - "compare": branch-free broadcast compares of each neighbor against the
+      candidate list and an explored log ([B, EM, ef+T] VPU work/iteration).
+    - "bytemap": nmslib's visited-list semantics as a [B, N+1] device byte
+      map — every *generated* neighbor is marked (seeds at init) and future
+      occurrences are masked with one [B, EM] gather + one scatter, making
+      per-iteration dedup cost independent of ef and iteration count. Memory
+      B*(N+1) bytes (128 MB at B=1024, N=131k — the per-shard regime); the
+      search is exact-equivalent to "compare" up to transient in-expansion
+      duplicates, which both modes resolve at the final cut.
     """
     b, d = queries.shape
     m0 = graph.shape[1]
@@ -100,6 +112,26 @@ def hnsw_search_batch(
     )
     explored = jnp.zeros((b, ef), dtype=jnp.bool_)
     explored_log = jnp.full((b, max_iters * e), -1, jnp.int32)
+
+    if visited_impl == "bytemap":
+        cand_ids, cand_sims = _beam_loop_bytemap(
+            qf, vectors, graph, nbr_vecs, nbr_scales, cand_ids, cand_sims,
+            explored, seed_ids, ef=ef, max_iters=max_iters, e=e, m0=m0,
+            fused_gather=fused_gather, approx_merge=approx_merge,
+        )
+        # Transient in-expansion duplicates resolve at the final cut.
+        dup = jnp.any(
+            (cand_ids[:, :, None] == cand_ids[:, None, :])
+            & (jax.lax.broadcasted_iota(jnp.int32, (ef, ef), 1)
+               < jax.lax.broadcasted_iota(jnp.int32, (ef, ef), 0))[None],
+            axis=2,
+        )
+        cand_sims = jnp.where(dup, -jnp.inf, cand_sims)
+        out_sims, sel = jax.lax.top_k(cand_sims, k)
+        out_ids = jnp.take_along_axis(cand_ids, sel, axis=1)
+        out_ids = jnp.where(jnp.isfinite(out_sims), out_ids, -1)
+        return out_sims, out_ids
+    assert visited_impl == "compare", visited_impl
 
     def cond(state):
         it, cand_ids, cand_sims, explored, explored_log = state
@@ -197,6 +229,93 @@ def hnsw_search_batch(
     out_ids = jnp.take_along_axis(cand_ids, sel, axis=1)
     out_ids = jnp.where(jnp.isfinite(out_sims), out_ids, -1)
     return out_sims, out_ids
+
+
+def _beam_loop_bytemap(
+    qf, vectors, graph, nbr_vecs, nbr_scales, cand_ids, cand_sims,
+    explored, seed_ids, *, ef, max_iters, e, m0, fused_gather, approx_merge,
+):
+    """Beam loop with nmslib-style visited-list dedup on device.
+
+    A [B, N+1] byte map (slot N is the trash slot for masked writes) marks
+    every node whose similarity has ever been computed — seeds at init, every
+    generated neighbor per iteration. Dedup is then one [B, EM] gather
+    (already-seen mask) + one scatter (mark), replacing the compare path's
+    [B, EM, ef] + [B, EM, max_iters*E] broadcast compares whose cost grows
+    with ef and iteration count. Semantics match nmslib's ef-search visited
+    list (hnsw_builder.cc's host-side equivalent): a node generated but not
+    admitted to the beam is never re-scored.
+    """
+    b = qf.shape[0]
+    n = vectors.shape[0]
+    if fused_gather:
+        from sqe_tpu.ops.gather_dot import gather_dot
+
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    visited = jnp.zeros((b, n + 1), jnp.int8)
+    visited = visited.at[rows, seed_ids].set(jnp.int8(1))
+
+    def cond(state):
+        it, cand_ids, cand_sims, explored, visited = state
+        avail = (~explored) & (cand_ids >= 0)
+        return (it < max_iters) & jnp.any(avail)
+
+    def body(state):
+        it, cand_ids, cand_sims, explored, visited = state
+        avail = (~explored) & (cand_ids >= 0)
+        masked = jnp.where(avail, cand_sims, -jnp.inf)
+        sel_sims, sel_pos = jax.lax.top_k(masked, e)              # [B, E]
+        sel_active = jnp.isfinite(sel_sims)
+
+        onehots = jax.nn.one_hot(sel_pos, ef, dtype=jnp.bool_)    # [B, E, ef]
+        explored = explored | jnp.any(
+            onehots & sel_active[:, :, None], axis=1
+        )
+
+        nids = jnp.take_along_axis(cand_ids, sel_pos, axis=1)     # [B, E]
+        nid_safe = jnp.where(sel_active, jnp.maximum(nids, 0), 0)
+
+        em = e * m0
+        nbrs = graph[nid_safe].reshape(b, em)                     # [B, EM]
+        valid = (nbrs >= 0) & jnp.repeat(sel_active, m0, axis=1)
+        probe = jnp.where(valid, nbrs, n)                         # trash slot
+        seen = jnp.take_along_axis(visited, probe, axis=1) > 0
+        valid = valid & ~seen
+        visited = visited.at[rows, jnp.where(valid, nbrs, n)].set(jnp.int8(1))
+
+        if fused_gather:
+            sims = gather_dot(nbr_vecs, nid_safe, qf)             # [B, E*M0]
+            if nbr_scales is not None:
+                sims = sims * nbr_scales[nid_safe].reshape(b, em)
+        else:
+            nbr_safe = jnp.where(valid, nbrs, 0)
+            nvecs = vectors[nbr_safe]                             # [B, EM, D]
+            sims = jnp.einsum(
+                "bd,bmd->bm", qf.astype(nvecs.dtype), nvecs,
+                preferred_element_type=jnp.float32,
+            )
+        sims = jnp.where(valid, sims, -jnp.inf)
+
+        all_sims = jnp.concatenate([cand_sims, sims], axis=1)     # [B, ef+EM]
+        all_ids = jnp.concatenate([cand_ids, nbrs], axis=1)
+        all_expl = jnp.concatenate(
+            [explored, jnp.zeros((b, em), jnp.bool_)], axis=1
+        )
+        if approx_merge:
+            new_sims, sel = jax.lax.approx_max_k(
+                all_sims, ef, recall_target=0.95
+            )
+        else:
+            new_sims, sel = jax.lax.top_k(all_sims, ef)
+        new_ids = jnp.take_along_axis(all_ids, sel, axis=1)
+        new_expl = jnp.take_along_axis(all_expl, sel, axis=1)
+        new_ids = jnp.where(jnp.isfinite(new_sims), new_ids, -1)
+
+        return it + 1, new_ids, new_sims, new_expl, visited
+
+    state = (jnp.int32(0), cand_ids, cand_sims, explored, visited)
+    _, cand_ids, cand_sims, _, _ = jax.lax.while_loop(cond, body, state)
+    return cand_ids, cand_sims
 
 
 @jax.jit
@@ -383,6 +502,10 @@ class HNSWIndex:
         )
         self._refresh_device()
 
+    # Visited-bytemap dedup budget: the [B, N+1] map is preferred while it
+    # stays under this many bytes (covers the per-shard fused-layout regime).
+    BYTEMAP_MAX_BYTES = 256 << 20
+
     def search_ids(
         self,
         query_emb: np.ndarray | jax.Array,
@@ -390,6 +513,7 @@ class HNSWIndex:
         ef: Optional[int] = None,
         expand: int = 8,
         rerank: Optional[bool] = None,
+        visited_impl: str = "auto",
     ) -> Tuple[np.ndarray, np.ndarray]:
         if self._vectors is None:
             b = np.asarray(query_emb).shape[0]
@@ -401,6 +525,12 @@ class HNSWIndex:
         q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
         if self.device is not None:
             q = jax.device_put(q, self.device)
+        if visited_impl == "auto":
+            visited_impl = (
+                "bytemap"
+                if q.shape[0] * (n + 1) <= self.BYTEMAP_MAX_BYTES
+                else "compare"
+            )
         scores, ids = hnsw_search_batch(
             q, self._vectors, self._graph, self._pivots, self._nbr_vecs,
             self._nbr_scales,
@@ -410,6 +540,7 @@ class HNSWIndex:
             n_seeds=min(32, ef, n),
             expand=expand,
             fused_gather=self._nbr_vecs is not None,
+            visited_impl=visited_impl,
         )
         if rerank is None:
             rerank = self._nbr_scales is not None

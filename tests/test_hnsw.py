@@ -144,3 +144,23 @@ def test_native_builder_graph_wellformed(make_clustered):
             if x >= 0:
                 inbound[x] += 1
     assert (inbound > 0).mean() > 0.95
+
+
+def test_visited_bytemap_matches_compare(corpus, cpu_device):
+    """The [B, N+1] visited-bytemap dedup returns the same result set as the
+    broadcast-compare dedup (both are exact ef-search visited semantics up to
+    transient in-expansion duplicates resolved at the final cut)."""
+    vecs, queries = corpus
+    n, d = vecs.shape
+    idx = HNSWIndex(HNSWConfig(M=16, ef_construction=200, ef_search=64),
+                    embed_dim=d, device=cpu_device)
+    idx.build(vecs, [{"doc_id": str(i), "text": ""} for i in range(n)])
+    sc_c, ids_c = idx.search_ids(queries, 10, visited_impl="compare")
+    sc_b, ids_b = idx.search_ids(queries, 10, visited_impl="bytemap")
+    same = np.mean([
+        len(set(ids_c[i]) & set(ids_b[i])) / 10 for i in range(len(queries))
+    ])
+    # Identical up to score ties; exact id-set agreement expected on this
+    # tie-free synthetic corpus.
+    assert same >= 0.99, same
+    np.testing.assert_allclose(sc_c, sc_b, atol=1e-5)
