@@ -82,9 +82,12 @@ def hnsw_search_batch(
       map — every *generated* neighbor is marked (seeds at init) and future
       occurrences are masked with one [B, EM] gather + one scatter, making
       per-iteration dedup cost independent of ef and iteration count. Memory
-      B*(N+1) bytes (128 MB at B=1024, N=131k — the per-shard regime); the
-      search is exact-equivalent to "compare" up to transient in-expansion
-      duplicates, which both modes resolve at the final cut.
+      B*(N+1) bytes; exact-equivalent to "compare" up to transient
+      in-expansion duplicates, which both modes resolve at the final cut.
+      MEASURED 3x slower than "compare" on TPU at 100k/B=1024 (XLA's batched
+      scatter serializes the marks — scripts/hnsw_bytemap_bench.py), so
+      "compare" stays the default; kept for backends/future lowerings where
+      scatter is cheap.
     """
     b, d = queries.shape
     m0 = graph.shape[1]
@@ -502,8 +505,14 @@ class HNSWIndex:
         )
         self._refresh_device()
 
-    # Visited-bytemap dedup budget: the [B, N+1] map is preferred while it
-    # stays under this many bytes (covers the per-shard fused-layout regime).
+    # Visited-bytemap dedup budget: the [B, N+1] map is only *allowed* under
+    # this many bytes. It is never auto-picked on TPU: measured 3x SLOWER
+    # than the broadcast-compare dedup at 100k/B=1024 (177 ms vs 56 ms,
+    # scripts/hnsw_bytemap_bench.py) — XLA's batched scatter lowering
+    # serializes the [B, EM] marks, costing more than the O(B*EM*(ef+T))
+    # VPU compares it replaces. Kept selectable: the compare path's cost
+    # grows with ef and iteration count, the bytemap's doesn't, and a future
+    # scatter lowering (or other backend) may flip the balance.
     BYTEMAP_MAX_BYTES = 256 << 20
 
     def search_ids(
@@ -526,11 +535,10 @@ class HNSWIndex:
         if self.device is not None:
             q = jax.device_put(q, self.device)
         if visited_impl == "auto":
-            visited_impl = (
-                "bytemap"
-                if q.shape[0] * (n + 1) <= self.BYTEMAP_MAX_BYTES
-                else "compare"
-            )
+            visited_impl = "compare"
+        if (visited_impl == "bytemap"
+                and q.shape[0] * (n + 1) > self.BYTEMAP_MAX_BYTES):
+            visited_impl = "compare"
         scores, ids = hnsw_search_batch(
             q, self._vectors, self._graph, self._pivots, self._nbr_vecs,
             self._nbr_scales,

@@ -51,7 +51,7 @@ def fit_embedder(
         functools.partial(train_step, cfg=cfg, tx=tx, attn_impl=attn_impl),
         donate_argnums=(0,),
     )
-    losses: List[float] = []
+    device_losses: List[jax.Array] = []
     t0 = time.perf_counter()
     batches = pair_batches(
         chunks, tokenizer, batch_size=batch_size, max_len=pair_max_len,
@@ -61,8 +61,14 @@ def fit_embedder(
         if i >= steps:
             break
         state, loss = step_fn(state, batch)
-        losses.append(float(loss))
+        # Keep the loss as a device handle: a float() here would sync every
+        # step (the tunnel's ~29 ms dispatch floor) and serialize host-side
+        # tokenization of the NEXT batch against device compute. Syncing only
+        # at log points lets the host pipeline batches ahead of the chip
+        # (~2x wall-clock on the 1-core dev VM, measured in DESIGN.md §10).
+        device_losses.append(loss)
         if (i + 1) % log_every == 0 or i == 0:
-            log.info("step %d/%d loss %.4f (%.1fs)", i + 1, steps, losses[-1],
-                     time.perf_counter() - t0)
+            log.info("step %d/%d loss %.4f (%.1fs)", i + 1, steps,
+                     float(device_losses[-1]), time.perf_counter() - t0)
+    losses = [float(x) for x in device_losses]
     return state.params, losses

@@ -109,7 +109,7 @@ def fit_lm(
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    losses: List[float] = []
+    device_losses: List[jax.Array] = []
     t0 = time.perf_counter()
     batches = lm_batches(chunks, tokenizer, batch_size=batch_size,
                          seq_len=seq_len, seed=seed, epochs=max(1, steps))
@@ -117,8 +117,10 @@ def fit_lm(
         if i >= steps:
             break
         params, opt_state, loss = step(params, opt_state, jnp.asarray(batch))
-        losses.append(float(loss))
+        # Device handle only: per-step float() would sync every dispatch and
+        # serialize host batch prep against the chip (see train/fit.py).
+        device_losses.append(loss)
         if (i + 1) % log_every == 0 or i == 0:
             log.info("lm step %d/%d loss %.4f (%.1fs)", i + 1, steps,
-                     losses[-1], time.perf_counter() - t0)
-    return params, losses
+                     float(device_losses[-1]), time.perf_counter() - t0)
+    return params, [float(x) for x in device_losses]
