@@ -22,6 +22,20 @@ from sqe_tpu.utils.logging import get_logger
 log = get_logger("train.fit")
 
 
+def _drain_losses(device_losses) -> List[float]:
+    """Materialize per-step device loss scalars in chunks: one stacked D2H
+    transfer per chunk instead of one ~29 ms tunnel round-trip per scalar
+    (12k steps would otherwise spend minutes draining 4-byte copies)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    out: List[float] = []
+    for i in range(0, len(device_losses), 512):
+        chunk = device_losses[i:i + 512]
+        out.extend(np.asarray(jnp.stack(chunk)).tolist())
+    return out
+
+
 def fit_embedder(
     chunks: Sequence[Chunk],
     cfg: Optional[ModelConfig] = None,
@@ -70,5 +84,5 @@ def fit_embedder(
         if (i + 1) % log_every == 0 or i == 0:
             log.info("step %d/%d loss %.4f (%.1fs)", i + 1, steps,
                      float(device_losses[-1]), time.perf_counter() - t0)
-    losses = [float(x) for x in device_losses]
+    losses = _drain_losses(device_losses)
     return state.params, losses

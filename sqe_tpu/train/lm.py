@@ -123,4 +123,6 @@ def fit_lm(
         if (i + 1) % log_every == 0 or i == 0:
             log.info("lm step %d/%d loss %.4f (%.1fs)", i + 1, steps,
                      float(device_losses[-1]), time.perf_counter() - t0)
-    return params, [float(x) for x in device_losses]
+    from sqe_tpu.train.fit import _drain_losses
+
+    return params, _drain_losses(device_losses)
