@@ -48,6 +48,10 @@ def main(argv=None) -> None:
 
         cfg = cli_overrides(EngineConfig.from_env(), argv)
         engine = RAGEngine(cfg)
+        # A trained embedder in the checkpoint dir (from `fit`) must do the
+        # embedding — otherwise the index is built with random-init params
+        # and the fingerprint check discards it at serve time.
+        engine.load_model_checkpoint()
         n = engine.build_from_corpus()
         if cfg.checkpoint_dir:
             engine.save_checkpoint()

@@ -173,8 +173,12 @@ class Embedder:
         full_len = max_len or self.cfg.max_len
         # Dispatch all batches asynchronously (device programs pipeline),
         # materialize to host once at the end.
+        from sqe_tpu.utils.logging import get_logger
+
+        log = get_logger("models.embedder")
         pending: List[tuple] = []
-        for i in range(0, len(texts), batch_size):
+        n_batches = -(-len(texts) // batch_size)
+        for bi, i in enumerate(range(0, len(texts), batch_size)):
             batch = list(texts[i : i + batch_size])
             n = len(batch)
             if n < batch_size:
@@ -188,6 +192,12 @@ class Embedder:
             pending.append(
                 (self.embed_tokens(ids[:, :bucket], mask[:, :bucket]), n)
             )
+            if n_batches >= 200 and (bi + 1) % 100 == 0:
+                # Corpus-scale ingest: sync the just-dispatched batch so
+                # progress (and a hung device) is visible in the log instead
+                # of one silent multi-minute materialization at the end.
+                np.asarray(pending[-1][0][:1])
+                log.info("embedded %d/%d batches", bi + 1, n_batches)
         return np.concatenate(
             [np.asarray(emb[:n]) for emb, n in pending], axis=0
         )

@@ -225,3 +225,53 @@ def test_cache_journal_restart_parity(small_engine_cfg, cpu_device, tmp_path):
     eng3 = RAGEngine(cfg, device=cpu_device, backend=EchoBackend())
     assert eng3.load_checkpoint()
     assert len(eng3.cache) == 2
+
+
+def test_build_index_cli_uses_trained_model(small_engine_cfg, cpu_device,
+                                            tmp_path, monkeypatch):
+    """`python -m sqe_tpu build-index` must embed with the checkpointed
+    (trained) model, not random-init params — otherwise the serve-time
+    fingerprint check discards the index and re-embeds the corpus."""
+    import json
+    import os
+
+    from sqe_tpu.__main__ import main as cli_main
+
+    ckpt = tmp_path / "ck"
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "PMC1.txt").write_text("alpha beta gamma " * 40)
+
+    # "Trained" model = save params under the checkpoint dir (as `fit` does).
+    cfg = small_engine_cfg.with_overrides(checkpoint_dir=str(ckpt),
+                                          corpus_dir=str(corpus))
+    eng = RAGEngine(cfg, device=cpu_device)
+    import dataclasses
+
+    from sqe_tpu.data.tokenizer import tokenizer_to_dict
+    from sqe_tpu.utils import checkpoint as ckpt_mod
+
+    ckpt_mod.save_model(str(ckpt), eng.embedder.params,
+                        dataclasses.asdict(cfg.model),
+                        tokenizer_state=tokenizer_to_dict(eng.embedder.tokenizer))
+    trained_fp = eng._model_fingerprint()
+
+    monkeypatch.setenv("EMB_DIR", str(corpus))
+    monkeypatch.setenv("SQE_CHECKPOINT_DIR", str(ckpt))
+    monkeypatch.setenv("EMBED_DIM", str(cfg.model.embed_dim))
+    cli_main(["build-index",
+              f"--corpus_dir={corpus}", f"--checkpoint_dir={ckpt}",
+              f"--model.d_model={cfg.model.d_model}",
+              f"--model.n_layers={cfg.model.n_layers}",
+              f"--model.n_heads={cfg.model.n_heads}",
+              f"--model.d_ff={cfg.model.d_ff}",
+              f"--model.max_len={cfg.model.max_len}",
+              f"--model.vocab_size={cfg.model.vocab_size}",
+              f"--model.embed_dim={cfg.model.embed_dim}"])
+    manifest = json.loads((ckpt / "manifest.json").read_text())
+    assert manifest["model_fp"] == trained_fp
+
+    # And a serve-style load accepts it (no fingerprint discard).
+    eng2 = RAGEngine(cfg, device=cpu_device)
+    assert eng2.load_checkpoint()
+    assert len(eng2.index) > 0
