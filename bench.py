@@ -13,6 +13,9 @@ Three engines are measured; the fastest recall-gated one is the headline:
   reduced in VMEM; scores never touch HBM. Measured at the raw-matmul bound
   (DESIGN.md §8). Also run at B=4096 (four batched streams per dispatch) to
   amortize the dev tunnel's per-dispatch host cost.
+- **fused int8 scan**: the same kernel at the int8 MXU rate (2x bf16) over
+  per-row-quantized storage, scales applied in-VMEM before selection — the
+  throughput engine when its ~0.96 epsilon-recall clears the gate.
 - **HNSW beam search** (index/hnsw.py, M=16): the graph-ANN engine for the
   regimes where it wins (tiny-batch latency, very large N). Best-effort
   diagnostic — its device graph build depends on a remote compile service
@@ -156,6 +159,29 @@ def main():
         "fused Pallas scan B=4096 (per-1024 share x4)",
     )
 
+    # Int8 fused engine: si8xsi8->si32 MXU dots at 2x the bf16 rate, half the
+    # corpus HBM; per-row scales dequantize in-kernel before selection
+    # (DESIGN.md §2b). Gated by the same epsilon-recall bar as every engine.
+    from sqe_tpu.ops.fused_scan import fused_scan_topk_int8, quantize_rows
+
+    # Quantize from the padded fused-layout copy (already [nf, D] on device).
+    v_i8, v_s = jax.jit(lambda v: quantize_rows(v.astype(jnp.float32)))(
+        vecs_fused
+    )
+    _is, iids = fused_scan_topk_int8(q_dev, v_i8, v_s, jnp.int32(n), k=k, bn=bn)
+    int8_recall = float(
+        epsilon_recall(vecs, queries, np.asarray(iids), ref_scores, k)
+    )
+    log(f"fused int8 scan epsilon-recall@{k}: {int8_recall:.4f}")
+    int8_qps = timed_windows(
+        lambda: fused_scan_topk_int8(q_dev, v_i8, v_s, jnp.int32(n), k=k, bn=bn),
+        "fused int8 scan",
+    )
+    int8x4_qps = 4 * timed_windows(
+        lambda: fused_scan_topk_int8(q4_dev, v_i8, v_s, jnp.int32(n), k=k, bn=bn),
+        "fused int8 scan B=4096 (per-1024 share x4)",
+    )
+
     # HNSW graph path: best-effort diagnostic; the headline never waits on
     # the graph-build compile (remote compile variance is minutes-scale).
     hnsw_qps, hnsw_recall = 0.0, 0.0
@@ -209,6 +235,14 @@ def main():
         candidates.append(
             (fused4_qps,
              f"fused_scan_qps_100k_1024d_B4096_recall{fused_recall:.3f}")
+        )
+    if int8_recall >= 0.95:
+        candidates.append(
+            (int8_qps, f"int8_scan_qps_100k_1024d_recall{int8_recall:.3f}")
+        )
+        candidates.append(
+            (int8x4_qps,
+             f"int8_scan_qps_100k_1024d_B4096_recall{int8_recall:.3f}")
         )
     if hnsw_recall >= 0.95:
         candidates.append(

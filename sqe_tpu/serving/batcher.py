@@ -54,6 +54,7 @@ class RetrievalBatcher:
         self.top_k = top_k
         self._fused = None
         self._fused_checked = False
+        self._fused_index = None
         self._queue: Optional[asyncio.Queue] = None
         self._task: Optional[asyncio.Task] = None
         self._loop = None
@@ -132,15 +133,25 @@ class RetrievalBatcher:
                     if not fut.done():
                         fut.set_exception(exc)
 
+    def _resolve_index(self):
+        """Unwrap a router AutoIndex to its materialized engine (the fused
+        frontend binds to the concrete engine's device arrays)."""
+        inner = getattr(self.index, "inner", None)
+        return inner if inner is not None else self.index
+
     def _get_fused(self):
         """Fused single-dispatch front half (serving/pipeline.py), when the
-        index supports it."""
-        if not self._fused_checked:
+        index supports it. Re-binds when the concrete engine changes (an
+        AutoIndex crossover rebuild swaps the inner index object)."""
+        idx = self._resolve_index()
+        if not self._fused_checked or idx is not self._fused_index:
             self._fused_checked = True
+            self._fused_index = idx
+            self._fused = None
             try:
                 from sqe_tpu.serving.pipeline import FusedFrontend
 
-                fe = FusedFrontend(self.embedder, self.cache, self.index,
+                fe = FusedFrontend(self.embedder, self.cache, idx,
                                    k=self.top_k)
                 if fe.supported():
                     self._fused = fe

@@ -99,3 +99,28 @@ def test_engine_auto_kind(small_engine_cfg, cpu_device):
     answer = asyncio.run(eng.ask("enzyme3", chat_id="c1"))
     assert "Document PMC" in answer
     assert eng.stats()["index_kind"] == "flat"
+
+
+def test_auto_index_fused_frontend(small_engine_cfg, cpu_device):
+    """The batcher's fused front half binds through the AutoIndex wrapper to
+    the concrete engine (index_kind='auto' keeps single-dispatch retrieval)."""
+    from sqe_tpu.data.corpus import Chunk
+    from sqe_tpu.serving.engine import RAGEngine
+
+    cfg = small_engine_cfg.with_overrides(index_kind="auto")
+    eng = RAGEngine(cfg, device=cpu_device, batching=True)
+    eng.ingest_chunks([
+        Chunk(f"PMC{i}.txt", 0, f"note {i} about receptor{i}")
+        for i in range(12)
+    ])
+
+    async def main():
+        answers = await asyncio.gather(
+            *(eng.ask(f"receptor{i} binding", chat_id=f"c{i}") for i in range(3))
+        )
+        await eng._get_batcher().stop()
+        return answers
+
+    answers = asyncio.run(main())
+    assert all("Document" in a or "lack the context" in a for a in answers)
+    assert eng._get_batcher()._fused is not None
