@@ -274,8 +274,13 @@ def sample_token(logits: jax.Array, key: jax.Array, temperature: float,
 
 def decoder_params_from_leaves(cfg: DecoderConfig, leaves) -> Params:
     """Rebuild the decoder pytree from checkpoint leaves (deterministic
-    tree-leaves order for a given DecoderConfig)."""
-    template = init_decoder_params(cfg)
+    tree-leaves order for a given DecoderConfig).
+
+    The template is built ABSTRACTLY (eval_shape): materializing a random
+    init would dispatch dozens of per-leaf RNG programs whose fresh shapes
+    each pay the remote compile service (minutes of serve startup through
+    the dev tunnel) only to be thrown away."""
+    template = jax.eval_shape(lambda: init_decoder_params(cfg))
     treedef = jax.tree_util.tree_structure(template)
     shaped = jax.tree_util.tree_leaves(template)
     assert len(shaped) == len(leaves), (len(shaped), len(leaves))

@@ -211,8 +211,10 @@ class Embedder:
 
 def params_from_leaves(cfg: ModelConfig, leaves: Sequence[np.ndarray]) -> Params:
     """Rebuild the params pytree from checkpoint leaves (deterministic
-    tree-leaves order for a given ModelConfig)."""
-    template = init_embedder_params(cfg)
+    tree-leaves order for a given ModelConfig). The template is abstract
+    (eval_shape) — a materialized random init would pay per-leaf RNG
+    compiles at serve startup for arrays that are immediately discarded."""
+    template = jax.eval_shape(lambda: init_embedder_params(cfg))
     treedef = jax.tree_util.tree_structure(template)
     shaped = jax.tree_util.tree_leaves(template)
     assert len(shaped) == len(leaves), (
