@@ -19,7 +19,6 @@ Distribution is mesh-native (pjit/NamedSharding, the SURVEY.md §2 checklist):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
