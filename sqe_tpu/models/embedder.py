@@ -81,9 +81,19 @@ def embed_forward(
     cfg: ModelConfig,
     attn_impl: str = "xla",
 ) -> jax.Array:
-    """Forward pass: [B, L] int32 ids + [B, L] mask -> [B, embed_dim] float32, L2-normed."""
+    """Forward pass: [B, L] int32 ids + [B, L] mask -> [B, embed_dim] float32, L2-normed.
+
+    ``attn_impl="auto"`` picks per sequence length (static at trace time):
+    the flash kernel wins 3.2x at L=512 (no [L, L] HBM round-trip) but its
+    grid overhead loses 1.5x at L=128 and ties at L=64, where XLA's fused
+    attention is already optimal (measured A/B, DESIGN.md §9b). Length
+    buckets are distinct programs anyway, so each bucket gets its best
+    implementation for free.
+    """
     dtype = jnp.dtype(cfg.dtype)
     l = ids.shape[1]
+    if attn_impl == "auto":
+        attn_impl = "pallas" if l >= 256 else "xla"
     x = params["tok_emb"][ids].astype(dtype) + params["pos_emb"][:l][None].astype(dtype)
 
     for layer in params["layers"]:
@@ -133,7 +143,9 @@ class Embedder:
         self.device = device
         if attn_impl is None:
             platform = (device or jax.devices()[0]).platform
-            attn_impl = "pallas" if platform == "tpu" else "xla"
+            # "auto" = per-length-bucket choice (flash kernel for long
+            # sequences, XLA fused attention for short — DESIGN.md §9b).
+            attn_impl = "auto" if platform == "tpu" else "xla"
         self.attn_impl = attn_impl
         if params is None:
             params = init_embedder_params(self.cfg)

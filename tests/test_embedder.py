@@ -47,3 +47,24 @@ def test_length_bucket_invariance(small_model_cfg, cpu_device):
     together = emb.embed_texts([text, long_text], batch_size=2)
     alone = emb.embed_texts([text], batch_size=1)
     np.testing.assert_allclose(alone[0], together[0], atol=2e-5)
+
+
+def test_attn_impl_auto_resolves_by_length(small_model_cfg, cpu_device):
+    """attn_impl='auto' resolves per length bucket at trace time: short
+    sequences use XLA fused attention, long ones the flash kernel. On CPU
+    both resolve to runnable impls and match the explicit-xla forward."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sqe_tpu.models.embedder import embed_forward, init_embedder_params
+
+    cfg = small_model_cfg
+    params = init_embedder_params(cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, cfg.max_len)),
+                      jnp.int32)
+    mask = jnp.ones((2, cfg.max_len), jnp.int32)
+    # 'auto' on a short bucket -> xla: identical outputs.
+    auto = embed_forward(params, ids, mask, cfg=cfg, attn_impl="auto")
+    xla = embed_forward(params, ids, mask, cfg=cfg, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(xla), atol=1e-6)
