@@ -128,6 +128,12 @@ class FusedFrontend:
         from sqe_tpu.index.flat import FlatIndex
         from sqe_tpu.index.hnsw import HNSWIndex
 
+        if isinstance(self.index, FlatIndex) and self.index._int8:
+            # The fused program scores raw storage; int8 rows need their
+            # per-row scales applied (ordering is NOT scale-invariant across
+            # rows), which only the index's own search path does. Fall back
+            # to the unfused path rather than serve mis-ranked results.
+            return False
         return (
             isinstance(self.index, (HNSWIndex, FlatIndex))
             and self.index.has_any_data()

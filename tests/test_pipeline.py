@@ -66,3 +66,33 @@ def test_fused_padding_rows_ignored(stack):
     )
     assert len(cached) == 1 and len(results) == 1
     assert cache.misses == misses_before + 1
+
+
+def test_fused_frontend_rejects_int8_storage(small_model_cfg, cpu_device):
+    """int8 FlatIndex rows carry per-row scales the fused program does not
+    apply; supported() must refuse so the batcher uses the index's own
+    (scale-correct) search path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sqe_tpu.cache import DeviceLFUCache
+    from sqe_tpu.config import CacheConfig
+    from sqe_tpu.index import FlatIndex
+    from sqe_tpu.models import Embedder
+    from sqe_tpu.serving.pipeline import FusedFrontend
+
+    idx = FlatIndex(embed_dim=small_model_cfg.embed_dim, dtype=jnp.int8,
+                    exact=False, device=cpu_device)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((16, small_model_cfg.embed_dim)).astype(np.float32)
+    idx.add(v, [{"doc_id": str(i), "text": ""} for i in range(16)])
+    emb = Embedder(small_model_cfg, device=cpu_device)
+    cache = DeviceLFUCache(
+        CacheConfig(capacity=8, embed_dim=small_model_cfg.embed_dim),
+        device=cpu_device,
+    )
+    assert not FusedFrontend(emb, cache, idx).supported()
+    # ...while bf16/f32 storage stays on the fused path.
+    idx2 = FlatIndex(embed_dim=small_model_cfg.embed_dim, device=cpu_device)
+    idx2.add(v, [{"doc_id": str(i), "text": ""} for i in range(16)])
+    assert FusedFrontend(emb, cache, idx2).supported()
