@@ -487,14 +487,46 @@ class IVFIndex:
         return assign
 
     def _plan_layout(self, assign: np.ndarray, c: int,
-                     cap_factor: float = 1.25):
-        """Host-side layout plan: per-cluster capacity = cap_factor x mean
-        (chunk/lane-aligned); rows past a cluster's capacity go to the
+                     max_mem_factor: float = 3.0):
+        """Host-side layout plan: per-cluster capacity chosen to minimize
+        expected scanned bytes; rows past a cluster's capacity go to the
         guaranteed-visibility overflow block (always exact-scanned at
-        search), so capping memory costs no recall."""
+        search), so capping memory costs no recall.
+
+        Cost model: a query scans ``n_probe`` full padded clusters plus the
+        whole overflow block, so cost(cap) = n_probe * cap
+        + 2 * overflow_rows(cap)   (x2: the overflow block keeps
+        power-of-two headroom). A fixed cap_factor x mean cap measured a 21%
+        always-scanned overflow tail on clustered data at 2M (DESIGN.md
+        §8c) — the histogram-aware cap eliminates exactly that failure
+        mode. Candidates are chunk-aligned caps spanning mean..max count,
+        bounded by ``max_mem_factor`` (cluster memory <= ~cap/mean x
+        vectors — the guard against the 45x padding blowup measured with
+        unbounded caps in round 2)."""
         n = len(assign)
         counts = np.bincount(assign, minlength=c)
-        cap = round_smax(max(1, int(-(-n * cap_factor // c))))
+        mean = max(1.0, n / c)
+        n_probe = self.n_probe or max(8, c // 16)
+        lo = round_smax(max(1, int(np.ceil(mean))))
+        hi = round_smax(int(counts.max()))
+        mem_bound = round_smax(max(1, int(mean * max_mem_factor)))
+        candidates = sorted({
+            cp for cp in (
+                {round_smax(int(mean * f))
+                 for f in (1.0, 1.25, 1.5, 2.0, 2.5, 3.0)} | {lo, hi}
+            )
+            if lo <= cp <= max(mem_bound, lo)
+        })
+        sorted_counts = np.sort(counts)
+
+        def overflow_rows(cap):
+            above = sorted_counts[sorted_counts > cap]
+            return int(above.sum() - above.size * cap)
+
+        cap = min(
+            candidates,
+            key=lambda cp: n_probe * cp + 2 * overflow_rows(cp),
+        )
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
         starts = np.zeros(c, np.int64)
