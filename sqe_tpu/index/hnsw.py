@@ -531,6 +531,12 @@ class HNSWIndex:
         ef = ef or self.cfg.ef_search
         ef = max(k, min(ef, n))
         expand = max(1, min(expand, ef))
+        if self._nbr_vecs is not None:
+            # The gather_dot kernel's VMEM scratch at its minimum query
+            # block (8 rows) bounds the expansion width (ops/gather_dot.py).
+            _, m0, d = self._nbr_vecs.shape
+            e_max = (12 << 20) // (8 * m0 * d * self._nbr_vecs.dtype.itemsize)
+            expand = max(1, min(expand, e_max))
         q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
         if self.device is not None:
             q = jax.device_put(q, self.device)

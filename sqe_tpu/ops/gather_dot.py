@@ -85,13 +85,25 @@ def gather_dot(
     b, e = ids.shape
     if block_q == 0:
         # Largest power-of-two divisor of B whose VMEM scratch
-        # (block_q * E * M0 * D * itemsize) stays under ~12 MB.
+        # (block_q * E * M0 * D * itemsize) stays under ~12 MB. Mosaic
+        # requires the query block's sublane dim >= 8, so 8 is the floor —
+        # an expansion too wide to fit 8 rows of scratch must shrink E
+        # (HNSWIndex.search_ids clamps expand accordingly).
         budget = 12 << 20
         row_bytes = e * m0 * d * nbr_vecs.dtype.itemsize
         block_q = next(
-            bq for bq in (16, 8, 4, 2, 1)
-            if b % bq == 0 and (bq == 1 or bq * row_bytes <= budget)
+            (bq for bq in sorted({16, 8, 4, 2, 1, b}, reverse=True)
+             if b % bq == 0
+             and (bq % 8 == 0 or bq == b)      # Mosaic sublane rule
+             and (bq == 1 or bq * row_bytes <= budget)),
+            None,
         )
+        if block_q is None:
+            raise ValueError(
+                f"gather_dot: E={e} x M0={m0} x D={d} with B={b} has no "
+                f"valid query block (Mosaic needs block_q % 8 == 0 or "
+                f"block_q == B); reduce the expansion width"
+            )
     assert b % block_q == 0, (b, block_q)
     em = e * m0
 
