@@ -66,6 +66,44 @@ def pair_batches(
     forwards, so asymmetric shapes cost nothing.
     """
     rng = np.random.default_rng(seed)
+    if style == "asym":
+        # Tokenize every chunk ONCE and sample query spans in TOKEN space:
+        # the naive path re-tokenized the same full chunks every epoch
+        # (~3M redundant tokenizations for a 12k-step fit over 32.7k
+        # chunks), leaving training host-bound on the 1-core dev VM. Query
+        # spans are contiguous slices of the chunk's token row (CLS
+        # re-prepended), so batch assembly is pure array indexing.
+        texts = [c.text for c in chunks if c.text.strip()]
+        if not texts:
+            return
+        from sqe_tpu.data.tokenizer import CLS_ID
+
+        p_all_ids, p_all_mask = [], []
+        for s0 in range(0, len(texts), 1024):
+            i_, m_ = tokenizer.encode_batch(texts[s0:s0 + 1024],
+                                            max_len=max_len)
+            p_all_ids.append(i_)
+            p_all_mask.append(m_)
+        p_all_ids = np.concatenate(p_all_ids)
+        p_all_mask = np.concatenate(p_all_mask)
+        tok_lens = p_all_mask.sum(axis=1).astype(np.int64) - 1  # minus CLS
+        for _ in range(epochs):
+            order = rng.permutation(len(texts))
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                rows = order[start : start + batch_size]
+                q_ids = np.zeros((batch_size, q_max_len), np.int32)
+                q_mask = np.zeros((batch_size, q_max_len), np.float32)
+                for j, r in enumerate(rows):
+                    n_tok = max(1, int(tok_lens[r]))
+                    span = min(int(rng.integers(4, 25)), n_tok,
+                               q_max_len - 1)
+                    s = int(rng.integers(0, n_tok - span + 1))
+                    q_ids[j, 0] = CLS_ID
+                    q_ids[j, 1 : 1 + span] = p_all_ids[r, 1 + s : 1 + s + span]
+                    q_mask[j, : 1 + span] = 1.0
+                yield {"q_ids": q_ids, "q_mask": q_mask,
+                       "p_ids": p_all_ids[rows], "p_mask": p_all_mask[rows]}
+        return
     texts = [c.text.split() for c in chunks if c.text.strip()]
     if not texts:
         return
@@ -75,15 +113,10 @@ def pair_batches(
             rows = order[start : start + batch_size]
             qs, ps = [], []
             for r in rows:
-                if style == "asym":
-                    qs.append(query_span(texts[r], rng))
-                    ps.append(" ".join(texts[r]))
-                else:
-                    a, b = span_pair(texts[r], rng)
-                    qs.append(a)
-                    ps.append(b)
-            q_len = q_max_len if style == "asym" else max_len
-            q_ids, q_mask = tokenizer.encode_batch(qs, max_len=q_len)
+                a, b = span_pair(texts[r], rng)
+                qs.append(a)
+                ps.append(b)
+            q_ids, q_mask = tokenizer.encode_batch(qs, max_len=max_len)
             p_ids, p_mask = tokenizer.encode_batch(ps, max_len=max_len)
             yield {"q_ids": q_ids, "q_mask": q_mask,
                    "p_ids": p_ids, "p_mask": p_mask}

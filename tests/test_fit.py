@@ -20,8 +20,12 @@ def _chunks(n=64):
     out = []
     for i in range(n):
         words = [vocab[int(x)] for x in rng.integers(0, 200, size=80)]
-        # give each chunk a strong topical signature
-        words += [f"topic{i % 16}"] * 40
+        # Give each chunk a UNIQUE topical signature: shared topics would
+        # make same-topic chunks near-duplicates, so "own passage ranks
+        # top-1" stops being well-defined once the model learns the topic
+        # structure (alignment measured 0.75 with 4-way topic aliasing
+        # precisely because training worked).
+        words += [f"topic{i}"] * 40
         rng.shuffle(words)
         out.append(Chunk(f"d{i}", 0, " ".join(words)))
     return out
