@@ -78,7 +78,7 @@ def retrieval_program(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "attn_impl", "k", "block_n", "exact"),
+    static_argnames=("cfg", "attn_impl", "k", "block_n", "exact", "scan"),
 )
 def retrieval_program_flat(
     params,
@@ -88,6 +88,7 @@ def retrieval_program_flat(
     cache_valid: jax.Array,
     cache_threshold: jax.Array,
     vectors: jax.Array,
+    scales: Optional[jax.Array],   # [N, 1] f32 per-row scales (int8 storage)
     valid_n: jax.Array,
     *,
     cfg,
@@ -95,9 +96,22 @@ def retrieval_program_flat(
     k: int,
     block_n: int,
     exact: bool,
+    scan: str = "blocked",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Flat-index variant: embed -> cache probe -> exact MXU scan."""
+    """Flat-index variant: embed -> cache probe -> MXU scan.
+
+    ``scan`` mirrors FlatIndex.search_ids' scorer choice so the fused
+    program ranks identically to the index's own search: "fused" (bf16
+    Pallas kernel), "int8" (int8 kernel, scales applied in-VMEM),
+    "dequant" (int8 storage below the fused kernel's shape floor:
+    dequantize + blocked scan), "blocked" (XLA blocked scan).
+    """
     from sqe_tpu.index.flat import flat_topk
+    from sqe_tpu.ops.fused_scan import (
+        fused_scan_topk,
+        fused_scan_topk_int8,
+        pick_bn,
+    )
 
     emb = embed_forward(params, ids, mask, cfg=cfg, attn_impl=attn_impl)
     sims = jax.lax.dot_general(
@@ -107,8 +121,21 @@ def retrieval_program_flat(
     sims = jnp.where(cache_valid[None, :], sims, -jnp.inf)
     slot = jnp.argmax(sims, axis=1).astype(jnp.int32)
     hit = jnp.max(sims, axis=1) >= cache_threshold
-    scores, out_ids = flat_topk(emb, vectors, valid_n, k=k, block_n=block_n,
-                                exact=exact)
+    if scan == "int8":
+        scores, out_ids = fused_scan_topk_int8(
+            emb, vectors, scales, valid_n, k=k, bn=pick_bn(vectors.shape[0])
+        )
+    elif scan == "fused":
+        scores, out_ids = fused_scan_topk(
+            emb, vectors, valid_n, k=k, bn=pick_bn(vectors.shape[0])
+        )
+    elif scan == "dequant":
+        deq = vectors.astype(jnp.float32) * scales
+        scores, out_ids = flat_topk(emb, deq, valid_n, k=k, block_n=block_n,
+                                    exact=False)
+    else:
+        scores, out_ids = flat_topk(emb, vectors, valid_n, k=k,
+                                    block_n=block_n, exact=exact)
     return emb, hit, slot, scores, out_ids
 
 
@@ -128,12 +155,6 @@ class FusedFrontend:
         from sqe_tpu.index.flat import FlatIndex
         from sqe_tpu.index.hnsw import HNSWIndex
 
-        if isinstance(self.index, FlatIndex) and self.index._int8:
-            # The fused program scores raw storage; int8 rows need their
-            # per-row scales applied (ordering is NOT scale-invariant across
-            # rows), which only the index's own search path does. Fall back
-            # to the unfused path rather than serve mis-ranked results.
-            return False
         return (
             isinstance(self.index, (HNSWIndex, FlatIndex))
             and self.index.has_any_data()
@@ -170,16 +191,30 @@ class FusedFrontend:
             # across capture + dispatch so an insert can't delete it
             # mid-dispatch (execution itself is stream-ordered).
             with idx.lock:
-                block = min(idx.block_n, idx._vectors.shape[0])
+                length = idx._vectors.shape[0]
+                k_eff = min(k, n)
+                # Mirror FlatIndex.search_ids' scorer choice exactly.
+                if idx._int8 and idx._use_fused(length, k_eff):
+                    scan = "int8"
+                elif idx._use_fused(length, k_eff):
+                    scan = "fused"
+                elif idx._int8:
+                    scan = "dequant"
+                else:
+                    scan = "blocked"
+                block = min(idx.block_n, length)
+                if length % block:
+                    block = 1 << (min(idx.block_n, length).bit_length() - 1)
                 emb, hit, slot, scores, out_ids = retrieval_program_flat(
                     self.embedder.params, ids, mask,
                     keys, valid, threshold,
-                    idx._vectors, jnp.int32(n),
+                    idx._vectors, idx._scales, jnp.int32(n),
                     cfg=self.embedder.cfg,
                     attn_impl=self.embedder.attn_impl,
-                    k=min(k, n),
+                    k=k_eff,
                     block_n=block,
                     exact=idx.exact,
+                    scan=scan,
                 )
         else:
             ef = self.ef or idx.cfg.ef_search

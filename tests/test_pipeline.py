@@ -68,10 +68,11 @@ def test_fused_padding_rows_ignored(stack):
     assert cache.misses == misses_before + 1
 
 
-def test_fused_frontend_rejects_int8_storage(small_model_cfg, cpu_device):
-    """int8 FlatIndex rows carry per-row scales the fused program does not
-    apply; supported() must refuse so the batcher uses the index's own
-    (scale-correct) search path."""
+def test_fused_frontend_int8_storage_ranks_correctly(small_model_cfg,
+                                                     cpu_device):
+    """int8 FlatIndex rows carry per-row scales; the fused program must
+    apply them (raw int8 dots are NOT scale-invariant across rows) and rank
+    identically to the index's own search path."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -83,16 +84,19 @@ def test_fused_frontend_rejects_int8_storage(small_model_cfg, cpu_device):
 
     idx = FlatIndex(embed_dim=small_model_cfg.embed_dim, dtype=jnp.int8,
                     exact=False, device=cpu_device)
-    rng = np.random.default_rng(0)
-    v = rng.standard_normal((16, small_model_cfg.embed_dim)).astype(np.float32)
-    idx.add(v, [{"doc_id": str(i), "text": ""} for i in range(16)])
     emb = Embedder(small_model_cfg, device=cpu_device)
+    texts = [f"medical note {i} about receptor{i}" for i in range(24)]
+    v = emb.embed_texts(texts, batch_size=8)
+    idx.add(v, [{"doc_id": str(i), "text": t} for i, t in enumerate(texts)])
     cache = DeviceLFUCache(
         CacheConfig(capacity=8, embed_dim=small_model_cfg.embed_dim),
         device=cpu_device,
     )
-    assert not FusedFrontend(emb, cache, idx).supported()
-    # ...while bf16/f32 storage stays on the fused path.
-    idx2 = FlatIndex(embed_dim=small_model_cfg.embed_dim, device=cpu_device)
-    idx2.add(v, [{"doc_id": str(i), "text": ""} for i in range(16)])
-    assert FusedFrontend(emb, cache, idx2).supported()
+    fe = FusedFrontend(emb, cache, idx, k=3)
+    assert fe.supported()
+    _emb, cached, results = fe.retrieve(["receptor7 binding study"], k=3)
+    assert cached == [None]
+    _, ref_ids = idx.search_ids(emb.embed_texts(["receptor7 binding study"],
+                                                batch_size=1), 3)
+    got = [r[0]["doc_id"] for r in results[0]]
+    assert got == [str(i) for i in ref_ids[0]]
