@@ -77,3 +77,29 @@ def test_fit_improves_pair_alignment(cpu_device):
                                device=cpu_device))
     assert after >= before
     assert after >= 0.5
+
+
+def test_asym_pairs_are_token_subspans():
+    """Token-space query spans must be contiguous slices of their passage's
+    token row (CLS re-prepended), with serving-shaped lengths."""
+    from sqe_tpu.data.tokenizer import CLS_ID
+
+    tok = HashingTokenizer(CFG.vocab_size, CFG.max_len)
+    batches = list(pair_batches(_chunks(16), tok, batch_size=8, max_len=32,
+                                epochs=1, style="asym", q_max_len=16))
+    assert batches
+    for b in batches:
+        assert b["q_ids"].shape == (8, 16)
+        assert b["p_ids"].shape == (8, 32)
+        for j in range(8):
+            q_len = int(b["q_mask"][j].sum())
+            assert b["q_ids"][j, 0] == CLS_ID
+            span = b["q_ids"][j, 1:q_len].tolist()
+            assert 1 <= len(span) <= 15
+            passage = b["p_ids"][j, 1:].tolist()
+            # contiguous subsequence check
+            found = any(
+                passage[s:s + len(span)] == span
+                for s in range(len(passage) - len(span) + 1)
+            )
+            assert found
