@@ -58,6 +58,15 @@ def _native_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
             ]
+            lib.vocab_tokenize_batch.restype = ctypes.c_int
+            lib.vocab_tokenize_batch.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ]
             _NATIVE = lib
         except Exception:
             _NATIVE_FAILED = True
@@ -182,13 +191,36 @@ class VocabTokenizer:
     """
 
     def __init__(self, vocab: Dict[str, int], vocab_size: int = 32768,
-                 max_len: int = 512, hash_tail: int = 4096):
+                 max_len: int = 512, hash_tail: int = 4096,
+                 use_native: bool = True):
         assert vocab_size > N_SPECIAL + hash_tail
         self.vocab = vocab
         self.vocab_size = vocab_size
         self.max_len = max_len
         self.hash_tail = hash_tail
         self._tail_base = vocab_size - hash_tail
+        self.use_native = use_native
+        self._table: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+    def _native_table(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Open-addressing (linear probe) lookup table for the C fast path:
+        FNV-1a(word) -> token id, power-of-two size ~4x the vocab. Word
+        identity is the 64-bit hash — a false vocab hit needs an FNV
+        collision against a ~29k-word table (~1e-15 per OOV word)."""
+        if self._table is None:
+            t = 1 << max(4, (4 * max(1, len(self.vocab)) - 1).bit_length())
+            hashes = np.zeros(t, np.uint64)
+            tids = np.full(t, -1, np.int32)
+            tmask = t - 1
+            for w, tid in self.vocab.items():
+                h = fnv1a_64(w.encode("utf-8"))
+                idx = h & tmask
+                while tids[idx] >= 0:
+                    idx = (idx + 1) & tmask
+                hashes[idx] = h
+                tids[idx] = tid
+            self._table = (hashes, tids)
+        return self._table
 
     @classmethod
     def train(cls, texts: Sequence[str], vocab_size: int = 32768,
@@ -229,6 +261,10 @@ class VocabTokenizer:
         self, texts: Sequence[str], max_len: int | None = None
     ) -> Tuple[np.ndarray, np.ndarray]:
         L = self.max_len if max_len is None else max_len
+        if self.use_native:
+            lib = _native_lib()
+            if lib is not None:
+                return self._encode_batch_native(lib, texts, L)
         B = len(texts)
         ids = np.zeros((B, L), dtype=np.int32)
         mask = np.zeros((B, L), dtype=np.float32)
@@ -237,6 +273,30 @@ class VocabTokenizer:
             toks = toks[:L]
             ids[i, : len(toks)] = toks
             mask[i, : len(toks)] = 1.0
+        return ids, mask
+
+    def _encode_batch_native(
+        self, lib, texts: Sequence[str], max_len: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        hashes, tids = self._native_table()
+        blobs = [t.encode("utf-8") for t in texts]
+        offsets = np.zeros(len(blobs) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offsets[1:])
+        data = b"".join(blobs)
+        b = len(texts)
+        ids = np.zeros((b, max_len), dtype=np.int32)
+        mask = np.zeros((b, max_len), dtype=np.float32)
+        rc = lib.vocab_tokenize_batch(
+            data, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            b, max_len,
+            hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            tids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(tids), self._tail_base, self.hash_tail,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise RuntimeError(f"vocab_tokenize_batch failed: {rc}")
         return ids, mask
 
     # ------------------------------------------------------------ persistence

@@ -10,8 +10,13 @@
 //
 // Exposed via C ABI for ctypes:
 //   hash_tokenize_batch(data, offsets, n_texts, max_len, vocab_size, ids, mask)
+//   vocab_tokenize_batch(..., table_hashes, table_ids, table_size,
+//                        tail_base, hash_tail, ids, mask)
 // where `data` is the concatenated UTF-8 text and offsets[i]..offsets[i+1]
-// bounds text i.
+// bounds text i. The vocab variant looks each word up in an open-addressing
+// table of FNV-1a(word) hashes built host-side by VocabTokenizer (linear
+// probing, power-of-two size); misses hash into the reserved OOV tail —
+// the learned-vocabulary semantics of data/tokenizer.py::VocabTokenizer.
 
 #include <cstdint>
 
@@ -68,6 +73,64 @@ int hash_tokenize_batch(const char* data, const std::int64_t* offsets,
       }
       any_word = true;
       row[pos] = kNSpecial + std::int32_t(h % buckets);
+      mrow[pos] = 1.0f;
+      ++pos;
+    }
+    if (!any_word && pos < max_len) {
+      row[pos] = kUnk;
+      mrow[pos] = 1.0f;
+      ++pos;
+    }
+    for (; pos < max_len; ++pos) {
+      row[pos] = kPad;
+      mrow[pos] = 0.0f;
+    }
+  }
+  return 0;
+}
+
+int vocab_tokenize_batch(const char* data, const std::int64_t* offsets,
+                         std::int64_t n_texts, std::int64_t max_len,
+                         const std::uint64_t* table_hashes,
+                         const std::int32_t* table_ids,
+                         std::int64_t table_size,   // power of two
+                         std::int64_t tail_base, std::int64_t hash_tail,
+                         std::int32_t* ids, float* mask) {
+  if (max_len <= 0 || table_size <= 0 || (table_size & (table_size - 1)) != 0
+      || hash_tail <= 0)
+    return -1;
+  const std::uint64_t tmask = std::uint64_t(table_size - 1);
+  for (std::int64_t t = 0; t < n_texts; ++t) {
+    std::int32_t* row = ids + t * max_len;
+    float* mrow = mask + t * max_len;
+    std::int64_t pos = 0;
+    row[pos] = kCls;
+    mrow[pos] = 1.0f;
+    ++pos;
+
+    const char* p = data + offsets[t];
+    const char* end = data + offsets[t + 1];
+    bool any_word = false;
+    while (p < end && pos < max_len) {
+      unsigned char lowered;
+      while (p < end && !is_word_byte(static_cast<unsigned char>(*p), &lowered))
+        ++p;
+      if (p >= end) break;
+      std::uint64_t h = kFnvOffset;
+      while (p < end && is_word_byte(static_cast<unsigned char>(*p), &lowered)) {
+        h ^= lowered;
+        h *= kFnvPrime;
+        ++p;
+      }
+      any_word = true;
+      std::int32_t tid = -1;
+      for (std::uint64_t idx = h & tmask; table_ids[idx] >= 0;
+           idx = (idx + 1) & tmask) {
+        if (table_hashes[idx] == h) { tid = table_ids[idx]; break; }
+      }
+      if (tid < 0)
+        tid = std::int32_t(tail_base + std::int64_t(h % std::uint64_t(hash_tail)));
+      row[pos] = tid;
       mrow[pos] = 1.0f;
       ++pos;
     }

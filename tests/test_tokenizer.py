@@ -100,3 +100,45 @@ class TestVocabTokenizer:
                                    vocab_size=64, max_len=8, hash_tail=16)
         tok2 = tokenizer_from_dict(tok.to_dict(), 64, 8)
         assert tok2.tokenize("three two one zzz") == tok.tokenize("three two one zzz")
+
+
+def test_vocab_native_matches_python():
+    """The learned-vocabulary C++ fast path must produce identical ids/mask
+    to the Python impl: vocab hits, OOV tail hashes, truncation, empties."""
+    import os
+
+    import pytest
+
+    from sqe_tpu.data.tokenizer import VocabTokenizer, _native_lib
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    corpus = [
+        "the heart pumps blood through the aorta",
+        "cardiac enzymes regulate blood pressure",
+        "unrelated astronomy text about galaxies",
+    ] * 10
+    texts = [
+        "The Heart pumps BLOOD through 42 vessels!",
+        "totally novel oovwords qqzzy galaxies",
+        "",
+        "   ",
+        "naïve café θεωρία mixed-UNICODE text 123",
+        " ".join(f"word{i}" for i in range(600)),
+    ]
+    pmc = "/root/reference/PMC"
+    if os.path.isdir(pmc):
+        from sqe_tpu.data import load_corpus
+
+        chunks = [c.text for c in load_corpus(pmc, 512, limit_files=3)]
+        corpus += chunks
+        texts += chunks[:20]
+    t_native = VocabTokenizer.train(corpus, 4096, 128)
+    t_python = VocabTokenizer(dict(t_native.vocab), vocab_size=4096,
+                              max_len=128, hash_tail=t_native.hash_tail,
+                              use_native=False)
+    assert t_native.use_native
+    ids_n, mask_n = t_native.encode_batch(texts)
+    ids_p, mask_p = t_python.encode_batch(texts)
+    np.testing.assert_array_equal(ids_n, ids_p)
+    np.testing.assert_array_equal(mask_n, mask_p)
