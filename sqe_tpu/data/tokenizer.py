@@ -27,7 +27,22 @@ CLS_ID = 1
 UNK_ID = 2
 N_SPECIAL = 3
 
-_WORD_RE = re.compile(r"[a-z0-9]+")
+# ASCII-only case fold, byte-identical to the C scanner (text_prep.cc):
+# Python's str.lower() maps some non-ASCII codepoints INTO ASCII word chars
+# (U+212A Kelvin sign -> 'k', U+0130 -> 'i' + combining dot), which the
+# byte-level native path never sees — tokenizing the corpus natively and a
+# query via the Python fallback would then disagree. Folding only A-Z keeps
+# both paths identical on every input.
+_ASCII_LOWER = bytes(
+    c + 32 if 65 <= c <= 90 else c for c in range(256)
+)
+_WORD_BYTES_RE = re.compile(rb"[a-z0-9]+")
+
+
+def _words(text: str) -> List[str]:
+    """Lowercased ASCII word runs, identical to the native scanner."""
+    folded = text.encode("utf-8").translate(_ASCII_LOWER)
+    return [w.decode("ascii") for w in _WORD_BYTES_RE.findall(folded)]
 
 _NATIVE_LOCK = threading.Lock()
 _NATIVE: Optional[ctypes.CDLL] = None
@@ -136,7 +151,7 @@ class HashingTokenizer:
         return tid
 
     def tokenize(self, text: str) -> List[int]:
-        words = _WORD_RE.findall(text.lower())
+        words = _words(text)
         if not words:
             return [UNK_ID]
         return [self._word_id(w) for w in words]
@@ -232,7 +247,7 @@ class VocabTokenizer:
         hash_tail = max(1, min(hash_tail, vocab_size // 8))
         counts: Counter = Counter()
         for t in texts:
-            counts.update(_WORD_RE.findall(t.lower()))
+            counts.update(_words(t))
         n_words = vocab_size - N_SPECIAL - hash_tail
         vocab = {
             w: N_SPECIAL + i
@@ -248,7 +263,7 @@ class VocabTokenizer:
         return self._tail_base + fnv1a_64(word.encode("utf-8")) % self.hash_tail
 
     def tokenize(self, text: str) -> List[int]:
-        words = _WORD_RE.findall(text.lower())
+        words = _words(text)
         if not words:
             return [UNK_ID]
         return [self._word_id(w) for w in words]

@@ -260,6 +260,27 @@ class FlatIndex:
     def _put(self, arr: jax.Array) -> jax.Array:
         return jax.device_put(arr, self.device) if self.device is not None else arr
 
+    def scan_plan(self, k_eff: int) -> Tuple[str, int]:
+        """The scorer this index would use for a k_eff search: (scan,
+        block_n) with scan in {"int8", "fused", "dequant", "blocked"}.
+        Single source of truth shared by search_ids and the fused serving
+        frontend (serving/pipeline.py) so both rank identically."""
+        length = self._vectors.shape[0]
+        block = min(self.block_n, length)
+        if length % block:
+            # Capacity grows in powers of two; fall back to the largest
+            # power-of-two block that divides it.
+            block = 1 << (min(self.block_n, length).bit_length() - 1)
+        if self._int8 and self._use_fused(length, k_eff):
+            return "int8", block
+        if self._use_fused(length, k_eff):
+            return "fused", block
+        if self._int8:
+            # Non-fused int8 fallback (CPU tests / tiny indices):
+            # dequantize and run the blocked scan.
+            return "dequant", block
+        return "blocked", block
+
     def search_ids(
         self, query_emb: np.ndarray | jax.Array, k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -271,33 +292,24 @@ class FlatIndex:
         with self.lock:   # capture+dispatch must exclude a concurrent donate
             k_eff = min(k, self._n)
             length = self._vectors.shape[0]
-            if self._int8 and self._use_fused(length, k_eff):
+            scan, block = self.scan_plan(k_eff)
+            if scan == "int8":
                 scores, ids = fused_scan_topk_int8(
                     q, self._vectors, self._scales, jnp.int32(self._n),
                     k=k_eff, bn=pick_bn(length),
                 )
-            elif self._use_fused(length, k_eff):
+            elif scan == "fused":
                 scores, ids = fused_scan_topk(
                     q, self._vectors, jnp.int32(self._n), k=k_eff,
                     bn=pick_bn(length),
                 )
-            elif self._int8:
-                # Non-fused int8 fallback (CPU tests / tiny indices):
-                # dequantize and run the blocked scan.
+            elif scan == "dequant":
                 deq = _dequantize(self._vectors, self._scales)
-                block = min(self.block_n, length)
-                if length % block:
-                    block = 1 << (min(self.block_n, length).bit_length() - 1)
                 scores, ids = flat_topk(
                     q, deq, jnp.int32(self._n), k=k_eff,
                     block_n=block, exact=False,
                 )
             else:
-                block = min(self.block_n, length)
-                if length % block:
-                    # Capacity grows in powers of two; fall back to the
-                    # largest power-of-two block that divides it.
-                    block = 1 << (min(self.block_n, length).bit_length() - 1)
                 scores, ids = flat_topk(
                     q, self._vectors, jnp.int32(self._n), k=k_eff,
                     block_n=block, exact=self.exact,

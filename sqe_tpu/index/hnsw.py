@@ -38,6 +38,23 @@ from sqe_tpu.ops.distance import l2_normalize
 NEG_INF = jnp.float32(-jnp.inf)
 
 
+def plan_fused_gather(b: int, m0: int, d: int, itemsize: int,
+                      expand: int, budget: int = 12 << 20):
+    """Clamp the expansion width to gather_dot's VMEM scratch budget at the
+    smallest query block Mosaic permits for this batch size (block_q must be
+    a multiple of 8 or equal B — ops/gather_dot.py), and report whether the
+    fused layout is usable at all. Returns (expand, fused_ok); callers fall
+    back to the plain-layout einsum scoring when fused_ok is False (e.g. an
+    off-size batch whose only legal block is B itself and does not fit).
+    Shared by HNSWIndex.search_ids and the fused serving frontend so every
+    entry point applies the same rule."""
+    bq_min = 8 if b % 8 == 0 else b
+    e_max = budget // max(1, bq_min * m0 * d * itemsize)
+    if e_max < 1:
+        return expand, False
+    return max(1, min(expand, e_max)), True
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -531,12 +548,13 @@ class HNSWIndex:
         ef = ef or self.cfg.ef_search
         ef = max(k, min(ef, n))
         expand = max(1, min(expand, ef))
-        if self._nbr_vecs is not None:
-            # The gather_dot kernel's VMEM scratch at its minimum query
-            # block (8 rows) bounds the expansion width (ops/gather_dot.py).
+        fused = self._nbr_vecs is not None
+        if fused:
             _, m0, d = self._nbr_vecs.shape
-            e_max = (12 << 20) // (8 * m0 * d * self._nbr_vecs.dtype.itemsize)
-            expand = max(1, min(expand, e_max))
+            expand, fused = plan_fused_gather(
+                np.asarray(query_emb).shape[0], m0, d,
+                self._nbr_vecs.dtype.itemsize, expand,
+            )
         q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
         if self.device is not None:
             q = jax.device_put(q, self.device)
@@ -546,14 +564,15 @@ class HNSWIndex:
                 and q.shape[0] * (n + 1) > self.BYTEMAP_MAX_BYTES):
             visited_impl = "compare"
         scores, ids = hnsw_search_batch(
-            q, self._vectors, self._graph, self._pivots, self._nbr_vecs,
-            self._nbr_scales,
+            q, self._vectors, self._graph, self._pivots,
+            self._nbr_vecs if fused else None,
+            self._nbr_scales if fused else None,
             k=min(k, n),
             ef=ef,
             max_iters=ef // expand + 32,
             n_seeds=min(32, ef, n),
             expand=expand,
-            fused_gather=self._nbr_vecs is not None,
+            fused_gather=fused,
             visited_impl=visited_impl,
         )
         if rerank is None:

@@ -142,9 +142,13 @@ class RetrievalBatcher:
     def _get_fused(self):
         """Fused single-dispatch front half (serving/pipeline.py), when the
         index supports it. Re-binds when the concrete engine changes (an
-        AutoIndex crossover rebuild swaps the inner index object)."""
+        AutoIndex crossover rebuild swaps the inner index object) and
+        re-checks while unbound — a first batch served before the corpus
+        ingest must not latch the slow path forever (supported() is False on
+        an empty index, but the same index object later has data)."""
         idx = self._resolve_index()
-        if not self._fused_checked or idx is not self._fused_index:
+        if (not self._fused_checked or idx is not self._fused_index
+                or self._fused is None):
             self._fused_checked = True
             self._fused_index = idx
             self._fused = None

@@ -223,17 +223,28 @@ class RAGEngine:
         self.cache.put(query_emb, answer)
         cj = self._cache_journal()
         if cj is not None:
-            cj.append(np.asarray(query_emb, np.float32).reshape(-1), answer)
+            cj.append(np.asarray(query_emb, np.float32).reshape(-1), answer,
+                      model_fp=self._model_fingerprint())
 
     def replay_cache_journal(self) -> int:
-        """Re-apply journaled cache puts on top of the restored snapshot."""
+        """Re-apply journaled cache puts on top of the restored snapshot.
+
+        Runs on EVERY load path — including a failed/absent index checkpoint
+        (a corpus rebuild follows, and the save at its end compacts the
+        journal; skipping replay there would silently destroy the fsync'd
+        answers the journal exists to preserve). Entries are filtered by the
+        embedder fingerprint: cache keys from a different model's geometry
+        would match nonsense queries."""
         cj = self._cache_journal()
         if cj is None:
             return 0
+        fp = self._model_fingerprint()
         n = 0
         for rec in cj.entries():
             if rec["emb"].shape[0] != self.cfg.model.embed_dim:
                 continue   # journaled under a different model config
+            if rec.get("fp") is not None and rec["fp"] != fp:
+                continue   # journaled under a different trained model
             self.cache.put(rec["emb"], rec["response"])
             n += 1
         if n:
@@ -407,6 +418,16 @@ class RAGEngine:
         path = path or self.cfg.checkpoint_dir
         if not path:
             return False
+        ok = self._load_checkpoint_inner(path)
+        if path == self.cfg.checkpoint_dir:
+            # Even when the index load failed (missing/corrupt snapshot or
+            # model mismatch -> corpus rebuild follows, and save_checkpoint
+            # will compact the journal), journaled cache answers matching
+            # the current model must survive into the new cache.
+            self.replay_cache_journal()
+        return ok
+
+    def _load_checkpoint_inner(self, path: str) -> bool:
         self.load_model_checkpoint(path)
         state = ckpt.load_index(path)
         if state is None:
@@ -433,8 +454,6 @@ class RAGEngine:
         cache_state = ckpt.load_cache(path)
         if cache_state is not None:
             self.cache.restore(cache_state)
-        if path == self.cfg.checkpoint_dir:
-            self.replay_cache_journal()
         log.info(
             "checkpoint loaded from %s (%d vectors, %d namespaces)",
             path, len(idx), len(self.indices),

@@ -191,20 +191,9 @@ class FusedFrontend:
             # across capture + dispatch so an insert can't delete it
             # mid-dispatch (execution itself is stream-ordered).
             with idx.lock:
-                length = idx._vectors.shape[0]
                 k_eff = min(k, n)
-                # Mirror FlatIndex.search_ids' scorer choice exactly.
-                if idx._int8 and idx._use_fused(length, k_eff):
-                    scan = "int8"
-                elif idx._use_fused(length, k_eff):
-                    scan = "fused"
-                elif idx._int8:
-                    scan = "dequant"
-                else:
-                    scan = "blocked"
-                block = min(idx.block_n, length)
-                if length % block:
-                    block = 1 << (min(idx.block_n, length).bit_length() - 1)
+                # The index's own scorer choice — one source of truth.
+                scan, block = idx.scan_plan(k_eff)
                 emb, hit, slot, scores, out_ids = retrieval_program_flat(
                     self.embedder.params, ids, mask,
                     keys, valid, threshold,
@@ -217,14 +206,23 @@ class FusedFrontend:
                     scan=scan,
                 )
         else:
+            from sqe_tpu.index.hnsw import plan_fused_gather
+
             ef = self.ef or idx.cfg.ef_search
             ef = max(k, min(ef, n))
             expand = max(1, min(self.expand, ef))
+            fused_gather = idx._nbr_vecs is not None
+            if fused_gather:
+                _, m0, d = idx._nbr_vecs.shape
+                expand, fused_gather = plan_fused_gather(
+                    ids.shape[0], m0, d, idx._nbr_vecs.dtype.itemsize, expand
+                )
             emb, hit, slot, scores, out_ids = retrieval_program(
                 self.embedder.params, ids, mask,
                 keys, valid, threshold,
-                idx._vectors, idx._graph, idx._pivots, idx._nbr_vecs,
-                idx._nbr_scales,
+                idx._vectors, idx._graph, idx._pivots,
+                idx._nbr_vecs if fused_gather else None,
+                idx._nbr_scales if fused_gather else None,
                 cfg=self.embedder.cfg,
                 attn_impl=self.embedder.attn_impl,
                 k=min(k, n),
@@ -232,7 +230,7 @@ class FusedFrontend:
                 max_iters=ef // expand + 32,
                 n_seeds=min(32, ef, n),
                 expand=expand,
-                fused_gather=idx._nbr_vecs is not None,
+                fused_gather=fused_gather,
             )
         emb_np = np.asarray(emb)[:n_real]
         cached = self.cache.resolve_external_probe(

@@ -209,7 +209,8 @@ class CacheJournal:
         os.makedirs(ckpt_dir, exist_ok=True)
         self.path = os.path.join(ckpt_dir, "cache_journal.jsonl")
 
-    def append(self, emb: np.ndarray, response: str) -> None:
+    def append(self, emb: np.ndarray, response: str,
+               model_fp: Optional[str] = None) -> None:
         import base64
 
         rec = json.dumps({
@@ -217,6 +218,10 @@ class CacheJournal:
                 np.asarray(emb, np.float32).tobytes()
             ).decode("ascii"),
             "response": response,
+            # Embeddings are only meaningful against the model that made
+            # them; replay filters on this so a model swap between runs
+            # can't inject stale-geometry cache keys.
+            "fp": model_fp,
         })
         with open(self.path, "a", encoding="utf-8") as f:
             f.write(rec + "\n")

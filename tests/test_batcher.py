@@ -83,3 +83,28 @@ def test_prewarm(stack):
     assert len(r.results) == 3
     # Prewarm rows never touched cache counters (n_real=0).
     assert cache.misses == misses_before + 1
+
+
+def test_fused_binds_after_late_ingest(small_engine_cfg, cpu_device):
+    """A batch served before the first ingest must not latch the unfused
+    path: once the index has data, the next flush binds the fused frontend."""
+    import asyncio
+
+    from sqe_tpu.data.corpus import Chunk
+    from sqe_tpu.serving.engine import RAGEngine
+
+    eng = RAGEngine(small_engine_cfg, device=cpu_device, batching=True)
+
+    async def ask_one(q):
+        r = await eng.ask(q, chat_id="c")
+        return r
+
+    # Empty index: request succeeds (no context), fused unbound.
+    first = asyncio.run(ask_one("anything at all"))
+    assert eng._get_batcher()._fused is None
+    eng.ingest_chunks([Chunk(f"PMC{i}.txt", 0, f"doc {i} about ligand{i}")
+                       for i in range(8)])
+    second = asyncio.run(ask_one("ligand5 affinity"))
+    assert "Document PMC" in second
+    assert eng._get_batcher()._fused is not None
+    assert first is not None

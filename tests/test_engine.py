@@ -275,3 +275,43 @@ def test_build_index_cli_uses_trained_model(small_engine_cfg, cpu_device,
     eng2 = RAGEngine(cfg, device=cpu_device)
     assert eng2.load_checkpoint()
     assert len(eng2.index) > 0
+
+
+def test_cache_journal_survives_failed_index_load(small_engine_cfg,
+                                                  cpu_device, tmp_path):
+    """A missing/corrupt index checkpoint must NOT void the cache journal:
+    the rebuild path replays matching entries before its save compacts the
+    journal (the fsync'd answers are the journal's whole point)."""
+    import os
+
+    cfg = small_engine_cfg.with_overrides(checkpoint_dir=str(tmp_path / "cx"))
+    eng = RAGEngine(cfg, device=cpu_device, backend=EchoBackend())
+    eng.ingest_chunks([Chunk(f"PMC{i}.txt", 0, f"doc {i} about path{i}")
+                       for i in range(8)])
+    eng.save_checkpoint()
+    q = "what is path3"
+    first = asyncio.run(eng.ask(q, chat_id="c1"))
+    assert len(eng._cache_journal().entries()) == 1
+
+    # Simulate index-checkpoint corruption: delete the snapshot files.
+    os.remove(tmp_path / "cx" / "index.npz")
+    os.remove(tmp_path / "cx" / "manifest.json")
+
+    eng2 = RAGEngine(cfg, device=cpu_device, backend=EchoBackend())
+    assert not eng2.load_checkpoint()      # index gone -> rebuild needed
+    assert len(eng2.cache) == 1            # ...but the journal replayed
+    eng2.ingest_chunks([Chunk(f"PMC{i}.txt", 0, f"doc {i} about path{i}")
+                        for i in range(8)])
+    eng2.save_checkpoint()                 # compacts the journal
+    assert eng2._cache_journal().entries() == []
+    hits = eng2.cache.hits
+    assert asyncio.run(eng2.ask(q, chat_id="c9")) == first
+    assert eng2.cache.hits == hits + 1
+
+    # Entries journaled under a DIFFERENT model fingerprint are skipped.
+    eng2._cache_journal().append(
+        np.zeros(cfg.model.embed_dim, np.float32), "stale", model_fp="beef"
+    )
+    eng3 = RAGEngine(cfg, device=cpu_device, backend=EchoBackend())
+    assert eng3.load_checkpoint()
+    assert all(r != "stale" for r in eng3.cache.snapshot()["responses"])

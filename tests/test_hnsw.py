@@ -164,3 +164,25 @@ def test_visited_bytemap_matches_compare(corpus, cpu_device):
     # tie-free synthetic corpus.
     assert same >= 0.99, same
     np.testing.assert_allclose(sc_c, sc_b, atol=1e-5)
+
+
+def test_plan_fused_gather_block_rules():
+    """The expansion clamp must account for the actual Mosaic-legal query
+    block: off-size batches (B % 8 != 0) can only use block_q == B, so wide
+    expansions that fit at block_q=8 may not fit at all — the plan reports
+    fused_ok=False instead of letting gather_dot raise at trace time."""
+    from sqe_tpu.index.hnsw import plan_fused_gather
+
+    m0, d, itemsize = 32, 1024, 2   # 64 KB per (parent) row
+    # B=1024 (divisible by 8): 12MB / (8 * 64KB) = 24 -> expand clamped.
+    e, ok = plan_fused_gather(1024, m0, d, itemsize, 32)
+    assert ok and e == 24
+    # B=12: block_q must be 12 -> 12 * e * 64KB <= 12MB -> e <= 16.
+    e, ok = plan_fused_gather(12, m0, d, itemsize, 24)
+    assert ok and e == 16
+    # B=1023: block_q must be 1023 -> even e=1 (64 MB) exceeds the budget.
+    e, ok = plan_fused_gather(1023, m0, d, itemsize, 8)
+    assert not ok
+    # Small power-of-two batches keep their expansion.
+    e, ok = plan_fused_gather(8, m0, d, itemsize, 16)
+    assert ok and e == 16

@@ -142,3 +142,29 @@ def test_vocab_native_matches_python():
     ids_p, mask_p = t_python.encode_batch(texts)
     np.testing.assert_array_equal(ids_n, ids_p)
     np.testing.assert_array_equal(mask_n, mask_p)
+
+
+def test_python_fold_matches_native_on_unicode_casefolds():
+    """Unicode codepoints that str.lower() would fold INTO ascii word chars
+    (Kelvin sign U+212A -> 'k', U+0130 -> 'i'+dot) must NOT create divergent
+    tokens between the native scanner and the Python fallback."""
+    from sqe_tpu.data.tokenizer import VocabTokenizer, _native_lib, _words
+
+    # the shared fold is ASCII-only: U+212A is not a word char on either path
+    assert _words("temperature 300K reading") == \
+        ["temperature", "300", "reading"]
+    assert _words("İstanbul") == ["stanbul"]
+    if _native_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    texts = ["temperature 300K reading", "İstanbul IS big",
+             "Straße KKM"]
+    corpus = ["temperature reading 300k kelvin"] * 4
+    t_native = VocabTokenizer.train(corpus, 1024, 64)
+    t_python = VocabTokenizer(dict(t_native.vocab), 1024, 64,
+                              t_native.hash_tail, use_native=False)
+    n = t_native.encode_batch(texts)
+    p = t_python.encode_batch(texts)
+    np.testing.assert_array_equal(n[0], p[0])
+    np.testing.assert_array_equal(n[1], p[1])
