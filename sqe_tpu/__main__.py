@@ -167,8 +167,8 @@ def _fit(argv: list) -> None:
 
     # fit-only flags (stripped before the shared config parser).
     # Defaults = the measured-best deployed recipe (DESIGN.md §10:
-    # 12k steps x batch 256 -> acc@1 0.480; ~40 min on one v5e chip).
-    fit_flags = {"steps": 12000, "lr": 3e-4, "fit_batch": 256,
+    # 12k steps x batch 512 -> acc@1 0.574; ~80 min on one v5e chip).
+    fit_flags = {"steps": 12000, "lr": 3e-4, "fit_batch": 512,
                  "pair_max_len": 512, "eval_queries": 256, "hash_vocab": False}
     remaining = []
     for arg in argv:
