@@ -80,6 +80,7 @@ def embed_forward(
     *,
     cfg: ModelConfig,
     attn_impl: str = "xla",
+    remat: bool = False,
 ) -> jax.Array:
     """Forward pass: [B, L] int32 ids + [B, L] mask -> [B, embed_dim] float32, L2-normed.
 
@@ -96,7 +97,7 @@ def embed_forward(
         attn_impl = "pallas" if l >= 256 else "xla"
     x = params["tok_emb"][ids].astype(dtype) + params["pos_emb"][:l][None].astype(dtype)
 
-    for layer in params["layers"]:
+    def one_layer(x, layer):
         h = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
         h = multihead_attention(
             h, mask,
@@ -108,7 +109,18 @@ def embed_forward(
         h = jnp.einsum("bld,df->blf", h, layer["w1"].astype(dtype)) + layer["b1"].astype(dtype)
         h = jax.nn.gelu(h)
         h = jnp.einsum("blf,fd->bld", h, layer["w2"].astype(dtype)) + layer["b2"].astype(dtype)
-        x = x + h
+        return x + h
+
+    if remat:
+        # Per-layer rematerialization: backward recomputes each layer's
+        # activations from its input instead of storing them — activation
+        # HBM drops from O(n_layers) to O(1) layers, buying the large
+        # contrastive batches (the 512->1024 negative-pool step OOMs at
+        # 30 GB without this; with it the same step fits), at ~1 extra
+        # forward of FLOPs on the MXU.
+        one_layer = jax.checkpoint(one_layer)
+    for layer in params["layers"]:
+        x = one_layer(x, layer)
 
     x = _layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"])
     # Masked mean pooling.

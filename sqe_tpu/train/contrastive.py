@@ -106,15 +106,20 @@ def train_step(
     attn_impl: str = "xla",
     temperature: float = 0.05,
     axis_name: Optional[str] = None,
+    remat: bool = False,
 ) -> Tuple[TrainState, jax.Array]:
-    """One optimizer step on a batch of (query, passage) token ids/masks."""
+    """One optimizer step on a batch of (query, passage) token ids/masks.
+    ``remat`` rematerializes layer activations in the backward pass — the
+    memory lever that fits 1024-way in-batch negatives on one chip."""
 
     def loss_fn(params):
         q_emb = embed_forward(
-            params, batch["q_ids"], batch["q_mask"], cfg=cfg, attn_impl=attn_impl
+            params, batch["q_ids"], batch["q_mask"], cfg=cfg,
+            attn_impl=attn_impl, remat=remat,
         )
         p_emb = embed_forward(
-            params, batch["p_ids"], batch["p_mask"], cfg=cfg, attn_impl=attn_impl
+            params, batch["p_ids"], batch["p_mask"], cfg=cfg,
+            attn_impl=attn_impl, remat=remat,
         )
         return infonce_loss(q_emb, p_emb, temperature, axis_name)
 

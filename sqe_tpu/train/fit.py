@@ -61,8 +61,14 @@ def fit_embedder(
     tokenizer = tokenizer or HashingTokenizer(cfg.vocab_size, cfg.max_len)
     state, tx = make_train_state(cfg, lr=lr, key=jax.random.PRNGKey(seed),
                                  schedule_steps=steps)
+    # Rematerialize layer activations for big negative pools: batch 512 at
+    # L=512 is the no-remat HBM ceiling on a 16 GB chip (b=1024 measured
+    # 30 GB); remat trades ~1 forward of MXU FLOPs for O(1)-layer activation
+    # memory.
+    remat = batch_size > 512
     step_fn = jax.jit(
-        functools.partial(train_step, cfg=cfg, tx=tx, attn_impl=attn_impl),
+        functools.partial(train_step, cfg=cfg, tx=tx, attn_impl=attn_impl,
+                          remat=remat),
         donate_argnums=(0,),
     )
     device_losses: List[jax.Array] = []
