@@ -161,7 +161,11 @@ def _fit(argv: list) -> None:
     from sqe_tpu.data.corpus import load_corpus
     from sqe_tpu.data.tokenizer import VocabTokenizer, tokenizer_to_dict
     from sqe_tpu.models import Embedder
-    from sqe_tpu.train.eval import retrieval_eval
+    from sqe_tpu.train.eval import (
+        embed_chunk_texts,
+        question_eval,
+        retrieval_eval,
+    )
     from sqe_tpu.train.fit import fit_embedder
     from sqe_tpu.utils import checkpoint as ckpt
 
@@ -169,7 +173,8 @@ def _fit(argv: list) -> None:
     # Defaults = the measured-best deployed recipe (DESIGN.md §10:
     # 12k steps x batch 512 -> acc@1 0.574; ~80 min on one v5e chip).
     fit_flags = {"steps": 12000, "lr": 3e-4, "fit_batch": 512,
-                 "pair_max_len": 512, "eval_queries": 256, "hash_vocab": False}
+                 "pair_max_len": 512, "eval_queries": 256, "hash_vocab": False,
+                 "q_dropout": 0.0, "ckpt_every": 2000}
     remaining = []
     for arg in argv:
         key, _, raw = arg.lstrip("-").partition("=")
@@ -200,6 +205,8 @@ def _fit(argv: list) -> None:
         batch_size=fit_flags["fit_batch"],
         pair_max_len=fit_flags["pair_max_len"], lr=fit_flags["lr"],
         attn_impl=attn_impl, tokenizer=tokenizer,
+        ckpt_dir=cfg.checkpoint_dir, ckpt_every=fit_flags["ckpt_every"],
+        q_dropout=fit_flags["q_dropout"],
     )
     print(f"fit: {len(losses)} steps, loss {losses[0]:.4f} -> {losses[-1]:.4f}")
 
@@ -214,11 +221,17 @@ def _fit(argv: list) -> None:
                            tokenizer=tokenizer)
         random_init = Embedder(cfg.model, attn_impl=attn_impl)
         n_eval_chunks = min(len(chunks), 4096)
-        m_trained = retrieval_eval(trained, chunks[:n_eval_chunks],
-                                   n_queries=fit_flags["eval_queries"])
-        m_random = retrieval_eval(random_init, chunks[:n_eval_chunks],
-                                  n_queries=fit_flags["eval_queries"])
-        report = {"trained": m_trained, "random_init": m_random}
+        eval_chunks = chunks[:n_eval_chunks]
+        nq = fit_flags["eval_queries"]
+        report = {}
+        for name, model in (("trained", trained), ("random_init", random_init)):
+            emb = embed_chunk_texts(model, eval_chunks)
+            report[name] = {
+                "span": retrieval_eval(model, eval_chunks, n_queries=nq,
+                                       chunk_emb=emb),
+                "question": question_eval(model, eval_chunks, n_queries=nq,
+                                          chunk_emb=emb),
+            }
         print("retrieval eval:", json.dumps(report))
         import os
 

@@ -55,6 +55,7 @@ def pair_batches(
     epochs: int = 1,
     style: str = "sym",
     q_max_len: int = 32,
+    q_dropout: float = 0.0,
 ) -> Iterator[dict]:
     """Yields train-step batches: {q_ids, q_mask, p_ids, p_mask}.
 
@@ -64,6 +65,12 @@ def pair_batches(
     matching the serving distribution, where users send short questions and
     the index holds 512-word chunks. Queries and passages go through separate
     forwards, so asymmetric shapes cost nothing.
+
+    ``q_dropout`` (asym only) drops each query-span token with that
+    probability (keeping at least one) and compacts the survivors: the query
+    stops being a verbatim contiguous n-gram of its passage, pushing the
+    model toward bag-of-content-words matching — the shape of real
+    natural-language questions (see train/eval.py question_eval).
     """
     rng = np.random.default_rng(seed)
     if style == "asym":
@@ -98,8 +105,15 @@ def pair_batches(
                     span = min(int(rng.integers(4, 25)), n_tok,
                                q_max_len - 1)
                     s = int(rng.integers(0, n_tok - span + 1))
+                    toks = p_all_ids[r, 1 + s : 1 + s + span]
+                    if q_dropout > 0.0 and span > 1:
+                        keep = rng.random(span) >= q_dropout
+                        if not keep.any():
+                            keep[int(rng.integers(0, span))] = True
+                        toks = toks[keep]
+                        span = len(toks)
                     q_ids[j, 0] = CLS_ID
-                    q_ids[j, 1 : 1 + span] = p_all_ids[r, 1 + s : 1 + s + span]
+                    q_ids[j, 1 : 1 + span] = toks
                     q_mask[j, : 1 + span] = 1.0
                 yield {"q_ids": q_ids, "q_mask": q_mask,
                        "p_ids": p_all_ids[rows], "p_mask": p_all_mask[rows]}

@@ -50,13 +50,23 @@ def fit_embedder(
     tokenizer=None,
     style: str = "asym",
     q_max_len: int = 32,
+    ckpt_dir: Optional[str] = None,
+    ckpt_every: int = 2000,
+    q_dropout: float = 0.0,
 ):
     """Train on in-chunk span pairs; returns (params, losses).
 
     ``tokenizer`` defaults to the hashing tokenizer; pass a corpus-trained
     ``VocabTokenizer`` so frequent words own private embedding rows.
     ``style="asym"`` (default) trains short-query -> full-chunk pairs,
-    matching the serving distribution (DESIGN.md §10)."""
+    matching the serving distribution (DESIGN.md §10).
+
+    ``ckpt_dir`` enables periodic param checkpoints every ``ckpt_every``
+    steps: multi-hour fits on the tunneled dev chip have died to device
+    stalls with nothing saved (DESIGN.md §10, round-2 1024-way run) — a
+    periodic save bounds the loss to ``ckpt_every`` steps. ``q_dropout``
+    randomly drops query-span tokens during batch assembly (see
+    train/data.py)."""
     cfg = cfg or ModelConfig()
     tokenizer = tokenizer or HashingTokenizer(cfg.vocab_size, cfg.max_len)
     state, tx = make_train_state(cfg, lr=lr, key=jax.random.PRNGKey(seed),
@@ -76,6 +86,7 @@ def fit_embedder(
     batches = pair_batches(
         chunks, tokenizer, batch_size=batch_size, max_len=pair_max_len,
         seed=seed, epochs=max(1, steps), style=style, q_max_len=q_max_len,
+        q_dropout=q_dropout,
     )
     for i, batch in enumerate(batches):
         if i >= steps:
@@ -90,5 +101,24 @@ def fit_embedder(
         if (i + 1) % log_every == 0 or i == 0:
             log.info("step %d/%d loss %.4f (%.1fs)", i + 1, steps,
                      float(device_losses[-1]), time.perf_counter() - t0)
+        if ckpt_dir and (i + 1) % ckpt_every == 0 and (i + 1) < steps:
+            _periodic_save(ckpt_dir, state.params, cfg, tokenizer, i + 1)
     losses = _drain_losses(device_losses)
     return state.params, losses
+
+
+def _periodic_save(ckpt_dir: str, params, cfg: ModelConfig, tokenizer,
+                   step: int) -> None:
+    """Persist a deployable mid-run checkpoint (params + config + tokenizer).
+    One D2H of the ~36M-param tree (~4-5 s through the tunnel) every
+    ``ckpt_every`` steps — cheap insurance against device stalls."""
+    import dataclasses
+
+    from sqe_tpu.data.tokenizer import tokenizer_to_dict
+    from sqe_tpu.utils import checkpoint as ckpt
+
+    t0 = time.perf_counter()
+    ckpt.save_model(ckpt_dir, params, dataclasses.asdict(cfg),
+                    tokenizer_state=tokenizer_to_dict(tokenizer))
+    log.info("periodic checkpoint at step %d -> %s (%.1fs)",
+             step, ckpt_dir, time.perf_counter() - t0)

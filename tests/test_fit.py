@@ -79,6 +79,76 @@ def test_fit_improves_pair_alignment(cpu_device):
     assert after >= 0.5
 
 
+class _BagOfWordsEmbedder:
+    """Deterministic lexical embedder: normalized hashed bag-of-words.
+    Retrieves correctly iff query and chunk share content vocabulary —
+    isolates the eval harness from model quality."""
+
+    def embed_texts(self, texts, batch_size=64, max_len=None):
+        out = np.zeros((len(texts), 256), np.float32)
+        for i, t in enumerate(texts):
+            for w in t.lower().split():
+                w = w.strip(".,;:!?")
+                out[i, hash(w) % 256] += 1.0
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        return out / np.maximum(norms, 1e-6)
+
+
+def test_make_question_is_not_a_contiguous_span():
+    from collections import Counter
+
+    from sqe_tpu.train.eval import _fold_word, make_question
+
+    chunks = _chunks(16)
+    rng = np.random.default_rng(3)
+    df = Counter()
+    for c in chunks:
+        df.update({_fold_word(w) for w in c.text.split()})
+    text = chunks[0].text
+    q = make_question(text, rng, df)
+    assert q is not None and q.endswith("?")
+    # Question terms come from the chunk's vocabulary...
+    q_words = [w.strip(",?") for w in q.split()]
+    content = [w for w in q_words if w.startswith(("term", "topic"))]
+    assert len(content) >= 2
+    assert all(w in text.split() for w in content)
+    # ...but the question itself is NOT a contiguous substring of the chunk.
+    assert q not in text
+
+
+def test_question_eval_rewards_shared_vocabulary():
+    from sqe_tpu.train.eval import question_eval
+
+    chunks = _chunks(64)
+    m = question_eval(_BagOfWordsEmbedder(), chunks, n_queries=32, k=5)
+    # Each question anchors on its chunk's unique topic word, so BoW
+    # retrieval succeeds iff the harness wires queries to the right source
+    # rows (template boilerplate adds hash noise, hence not 1.0 at top-1).
+    assert m["acc@1"] >= 0.7
+    assert m["acc@5"] >= 0.95
+    assert m["n_queries"] == 32.0
+
+
+def test_q_dropout_subsets_passage_tokens():
+    """Dropped-out query spans stay subsets (not necessarily contiguous
+    slices) of their passage's token row."""
+    from sqe_tpu.data.tokenizer import CLS_ID
+
+    tok = HashingTokenizer(CFG.vocab_size, CFG.max_len)
+    batches = list(pair_batches(_chunks(16), tok, batch_size=8, max_len=32,
+                                epochs=1, style="asym", q_max_len=16,
+                                q_dropout=0.3))
+    assert batches
+    for b in batches:
+        for j in range(8):
+            q_len = int(b["q_mask"][j].sum())
+            assert q_len >= 2  # CLS + at least one surviving token
+            assert b["q_ids"][j, 0] == CLS_ID
+            span = set(b["q_ids"][j, 1:q_len].tolist())
+            passage = set(b["p_ids"][j, 1:].tolist())
+            assert span <= passage
+
+
 def test_asym_pairs_are_token_subspans():
     """Token-space query spans must be contiguous slices of their passage's
     token row (CLS re-prepended), with serving-shaped lengths."""
