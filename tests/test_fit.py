@@ -85,11 +85,13 @@ class _BagOfWordsEmbedder:
     isolates the eval harness from model quality."""
 
     def embed_texts(self, texts, batch_size=64, max_len=None):
-        out = np.zeros((len(texts), 256), np.float32)
+        import zlib
+
+        out = np.zeros((len(texts), 1024), np.float32)
         for i, t in enumerate(texts):
             for w in t.lower().split():
                 w = w.strip(".,;:!?")
-                out[i, hash(w) % 256] += 1.0
+                out[i, zlib.crc32(w.encode()) % 1024] += 1.0
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         return out / np.maximum(norms, 1e-6)
 
