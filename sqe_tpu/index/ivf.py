@@ -19,8 +19,13 @@ nmslib HNSW (app/main.py:263-281) at large N / small batch:
 
 Recall is tunable via n_probe; the recall gate vs the exact scan lives in
 tests/test_ivf.py. Search cost scales with probed bytes (~P/C of the corpus),
-not N — this is the engine that beats the exact MXU scan at large N and the
-HNSW beam at every batch size (DESIGN.md §8b).
+not N. Measured verdict (DESIGN.md §8b/§8c): the fused exact scan beats IVF
+at EVERY measured operating point (131k/1M/2M, B=1 and B=1024) — probe
+depths that restore recall re-scan enough bytes that the MXU would have
+finished the exact job, and at 4M the cluster-major copy no longer fits
+beside the base. IVF is NOT the engine default; its niche is >4M
+vectors/chip where the scan's linear cost finally dominates, and the router
+(index/router.py) only selects it past the flat engine's HBM/latency bounds.
 """
 
 from __future__ import annotations

@@ -621,10 +621,11 @@ class ShardedHNSWIndex:
     # ------------------------------------------------------------------ search
 
     def _make_search(self, k: int, ef: int, n_seeds: int, max_iters: int,
-                     expand: int = 4):
+                     expand: int = 4, fused: Optional[bool] = None):
         axis = self.axis
-        fused = self._nbr_vecs is not None
-        quantized = self._nbr_scales is not None
+        if fused is None:
+            fused = self._nbr_vecs is not None
+        quantized = fused and self._nbr_scales is not None
 
         def local(q, vecs, graph, pivots, gids, nbr_vecs=None, nbr_scales=None):
             scores, ids = hnsw_search_batch(
@@ -669,14 +670,27 @@ class ShardedHNSWIndex:
             ef = max(k_eff, min(ef, self._cap))
             n_seeds = min(32, ef)
             expand = max(1, min(8, ef))
+            fused = self._nbr_vecs is not None
+            if fused:
+                # Same VMEM-budget clamp as HNSWIndex.search_ids / the fused
+                # frontend: gather_dot's block_q selection rejects off-size
+                # batches whose scratch exceeds the budget — shrink expand or
+                # drop to the plain einsum path (advisor r02 finding).
+                from sqe_tpu.index.hnsw import plan_fused_gather
+
+                _, m0, d = self._nbr_vecs.shape
+                expand, fused = plan_fused_gather(
+                    np.asarray(query_emb).shape[0], m0, d,
+                    self._nbr_vecs.dtype.itemsize, expand,
+                )
             max_iters = ef // expand + 32
-            key = (k_eff, ef, n_seeds, max_iters, expand, self._cap,
-                   self._nbr_vecs is not None)
+            key = (k_eff, ef, n_seeds, max_iters, expand, self._cap, fused)
             if self._search_fn is None or self._search_fn[0] != key:
-                self._search_fn = (key, self._make_search(*key[:5]))
+                self._search_fn = (key,
+                                   self._make_search(*key[:5], fused=fused))
             q = jax.device_put(q, NamedSharding(self.mesh, P()))
             args = (q, self._vectors, self._graph, self._pivots, self._gids_arr)
-            if self._nbr_vecs is not None:
+            if fused:
                 args = args + (self._nbr_vecs,)
                 if self._nbr_scales is not None:
                     args = args + (self._nbr_scales,)

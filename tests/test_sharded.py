@@ -136,6 +136,31 @@ def test_sharded_hnsw_incremental_add_recall(data, cpu_mesh, cpu_device):
     assert res[0][0]["doc_id"] == f"d{n0 + 7}"
 
 
+def test_sharded_hnsw_offsize_batch_exceeds_vmem_budget(rng, cpu_mesh,
+                                                        monkeypatch):
+    """An off-size batch (B % 8 != 0) whose fused-gather scratch exceeds the
+    VMEM budget must fall back to the plain-layout path — mirroring
+    HNSWIndex.search_ids — instead of raising from gather_dot's block_q
+    selection (advisor r02 finding). The fused layout is TPU-gated, so force
+    it on the CPU mesh; the clamp must route AROUND the fused kernel."""
+    monkeypatch.setattr(ShardedHNSWIndex, "_use_fused", lambda self: True)
+    n, d = 1024, 256
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    metas = [{"doc_id": f"d{i}"} for i in range(n)]
+    idx = ShardedHNSWIndex(
+        cpu_mesh, HNSWConfig(M=16, ef_construction=60, ef_search=48),
+        embed_dim=d,
+    )
+    idx.build(vecs, metas)
+    assert idx._nbr_vecs is not None  # fused layout active
+    # B=385: bq_min=B (off-size), scratch 385*32*256*4B > 12 MB -> fused off.
+    b = 385
+    queries = vecs[:b] + 0.01 * rng.normal(size=(b, d)).astype(np.float32)
+    s, i = idx.search_ids(queries, 5)
+    assert i.shape == (b, 5)
+    assert float((i[:, 0] == np.arange(b)).mean()) >= 0.8
+
+
 def test_sharded_flat_bf16_dtype(rng, cpu_mesh):
     """vector_dtype=bfloat16 propagates through build + donated inserts and
     search remains correct (bf16 tie-tolerance)."""
