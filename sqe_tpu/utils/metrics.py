@@ -4,6 +4,12 @@ Replaces the reference's nonexistent observability (print-only, SURVEY.md §5)
 with: monotonic counters (QPS, cache hit rate) and fixed-bucket latency
 histograms per pipeline stage (embed / cache / search / generate / total) with
 p50/p95/p99 estimates.
+
+Low-count stages report EXACT percentiles: a bucket upper bound is honest at
+scale but misleading for a stage observed a handful of times (a single 17 s
+corpus embed reported "p50 30.0 s" — the 30 s bucket's bound; VERDICT r02).
+Each histogram keeps the first 128 raw samples and interpolates exact
+quantiles from them until the sample set is no longer complete.
 """
 
 from __future__ import annotations
@@ -23,20 +29,34 @@ _BUCKETS: List[float] = [
 
 
 class Histogram:
+    # While total <= EXACT_SAMPLES the raw-sample set is complete and
+    # quantiles are exact; past it the log-spaced buckets take over.
+    EXACT_SAMPLES = 128
+
     def __init__(self) -> None:
         self.counts = [0] * (len(_BUCKETS) + 1)
         self.total = 0
         self.sum = 0.0
+        self._samples: List[float] = []
 
     def observe(self, seconds: float) -> None:
         idx = bisect.bisect_left(_BUCKETS, seconds)
         self.counts[idx] += 1
         self.total += 1
         self.sum += seconds
+        if len(self._samples) < self.EXACT_SAMPLES:
+            self._samples.append(seconds)
 
     def quantile(self, q: float) -> float:
         if self.total == 0:
             return 0.0
+        if self.total <= len(self._samples):
+            # Exact: linear interpolation between order statistics.
+            s = sorted(self._samples)
+            pos = q * (len(s) - 1)
+            lo = int(pos)
+            hi = min(lo + 1, len(s) - 1)
+            return s[lo] + (s[hi] - s[lo]) * (pos - lo)
         target = q * self.total
         run = 0
         for i, c in enumerate(self.counts):
