@@ -112,6 +112,23 @@ def worker(proc_id: int) -> None:
         print(f"multihost dryrun ok: {N_PROC} processes x {DEV_PER_PROC} "
               f"devices, dp={dp} tp={tp}, loss={loss:.4f}, "
               f"retrieval exact-match over DCN", flush=True)
+        # Persist the artifact so the "exact agreement" claim (DESIGN §12)
+        # is a recorded measurement future rounds can diff, not a rerun-only
+        # assertion (VERDICT r02 missing #5).
+        import json
+
+        with open(os.path.join(REPO, "scripts",
+                               "multihost_dryrun_results.json"), "w") as f:
+            json.dump({
+                "n_processes": N_PROC,
+                "devices_per_process": DEV_PER_PROC,
+                "train_mesh": {"dp": dp, "tp": tp},
+                "retrieval_mesh": {"shard": n_dev},
+                "train_loss": loss,
+                "train_loss_finite": bool(np.isfinite(loss)),
+                "retrieval_exact_match": True,  # asserted above
+                "wire_path": "jax.distributed over TCP (Gloo) - DCN",
+            }, f, indent=2)
 
 
 def main() -> None:
