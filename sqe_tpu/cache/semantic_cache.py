@@ -103,6 +103,11 @@ class DeviceLFUCache:
         self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
+        # Called under the cache lock with {slot: count} after every probe
+        # that bumped LFU frequencies; the engine wires this to the cache
+        # journal so a restart replays the exact eviction order. Writes to
+        # the OS page cache — fast enough for the locked section.
+        self.on_bump = None
 
     def __len__(self) -> int:
         return self._size
@@ -123,13 +128,21 @@ class DeviceLFUCache:
             hit_np = np.asarray(hit)
             slot_np = np.asarray(slot)
             out: List[Optional[str]] = []
+            bumped: dict = {}
             for h, s in zip(hit_np, slot_np):
+                if bool(h):
+                    # The device program bumped this slot's frequency
+                    # (regardless of response presence) — journal exactly
+                    # what the device applied.
+                    bumped[int(s)] = bumped.get(int(s), 0) + 1
                 if bool(h) and self._responses[int(s)] is not None:
                     out.append(self._responses[int(s)])
                     self.hits += 1
                 else:
                     out.append(None)
                     self.misses += 1
+            if bumped and self.on_bump is not None:
+                self.on_bump(bumped)
             return out
 
     def get(self, query_emb: np.ndarray) -> Optional[str]:
@@ -182,7 +195,22 @@ class DeviceLFUCache:
                     self.misses += 1
             if bump.any():
                 self._freqs = self._freqs + jnp.asarray(bump)
+                if self.on_bump is not None:
+                    self.on_bump({int(s): int(n) for s, n in
+                                  enumerate(bump) if n})
             return out
+
+    def apply_bumps(self, bumps: dict) -> None:
+        """Re-apply journaled LFU bumps ({slot: count}) during replay.
+        Does NOT invoke on_bump (replay must not re-journal)."""
+        if not bumps:
+            return
+        with self._lock:
+            add = np.zeros(self.cfg.capacity, dtype=np.int32)
+            for s, n in bumps.items():
+                if 0 <= int(s) < self.cfg.capacity:
+                    add[int(s)] = int(n)
+            self._freqs = self._freqs + jnp.asarray(add)
 
     def snapshot(self) -> dict:
         """Host-side state for checkpointing."""

@@ -77,6 +77,7 @@ class RAGEngine:
             index = self._new_index()
         self.indices: Dict[str, Any] = {DEFAULT_NAMESPACE: index}
         self.cache = cache or DeviceLFUCache(self.cfg.cache, device=device)
+        self._wire_cache_bump_journal()
         self.backend: GenerationBackend = backend or EchoBackend()
         self.stream_backend: GenerationBackend = stream_backend or self.backend
         self.memory = ChatMemoryStore(self.cfg.serve.chat_memory_max_turns)
@@ -216,6 +217,16 @@ class RAGEngine:
             self._cache_journal_obj = ckpt.CacheJournal(self.cfg.checkpoint_dir)
         return self._cache_journal_obj
 
+    def _wire_cache_bump_journal(self) -> None:
+        """Journal LFU frequency bumps so a restart reproduces the exact
+        eviction order (Redis kept frequencies durable, app/main.py:92-96;
+        the snapshot alone forgot bumps since the last checkpoint)."""
+        if not self.cfg.checkpoint_dir:
+            return
+        cj = self._cache_journal()
+        if cj is not None:
+            self.cache.on_bump = cj.append_bumps
+
     def _cache_put(self, query_emb: np.ndarray, answer: str) -> None:
         """Cache an answer and journal it for restart parity (the reference's
         Redis kept cached answers durable across restarts, app/main.py:53-128;
@@ -240,13 +251,25 @@ class RAGEngine:
             return 0
         fp = self._model_fingerprint()
         n = 0
-        for rec in cj.entries():
-            if rec["emb"].shape[0] != self.cfg.model.embed_dim:
-                continue   # journaled under a different model config
-            if rec.get("fp") is not None and rec["fp"] != fp:
-                continue   # journaled under a different trained model
-            self.cache.put(rec["emb"], rec["response"])
-            n += 1
+        # Replay must not re-journal: puts/bumps being replayed are already
+        # in the file, and duplicating them would double-apply on the NEXT
+        # restart. The hook is restored afterwards.
+        saved_hook, self.cache.on_bump = self.cache.on_bump, None
+        try:
+            for rec in cj.entries():
+                if "bumps" in rec:
+                    # Slot-indexed: exact relative to the snapshot + puts
+                    # replayed so far (out-of-range slots are dropped).
+                    self.cache.apply_bumps(rec["bumps"])
+                    continue
+                if rec["emb"].shape[0] != self.cfg.model.embed_dim:
+                    continue   # journaled under a different model config
+                if rec.get("fp") is not None and rec["fp"] != fp:
+                    continue   # journaled under a different trained model
+                self.cache.put(rec["emb"], rec["response"])
+                n += 1
+        finally:
+            self.cache.on_bump = saved_hook
         if n:
             log.info("replayed %d journaled cache entries", n)
         return n
@@ -406,6 +429,7 @@ class RAGEngine:
             )
             if self.cache.cfg.embed_dim != mcfg.embed_dim:
                 self.cache = DeviceLFUCache(self.cfg.cache, device=self.device)
+                self._wire_cache_bump_journal()
             if not self.index.has_any_data():
                 self.indices[DEFAULT_NAMESPACE] = self._new_index()
         self._model_fp = None

@@ -200,14 +200,23 @@ class CacheJournal:
     app/main.py:53-128). Each put appends (embedding, response) — fsync'd —
     on the generation path (where seconds-scale LLM latency dwarfs the
     write); startup replays the journal on top of the restored snapshot and
-    a successful checkpoint compacts it. LFU bumps between checkpoints are
-    deliberately NOT journaled: an fsync per cache *hit* would put disk on
-    the fast path to save one int, and eviction order self-heals with use.
+    a successful checkpoint compacts it.
+
+    LFU frequency bumps are journaled too (``append_bumps``) so replay
+    reproduces the EXACT eviction order the pre-crash cache would have used
+    (Redis kept frequencies durable, app/main.py:92-96). Durability contract:
+    every bump batch is ``write()``n immediately — which survives a process
+    crash/kill (the bytes live in the OS page cache) — but ``fsync`` is
+    amortized to every ``bump_fsync_every`` batches, so only a whole-machine
+    crash can lose the tail between fsyncs. An fsync per cache *hit* would
+    put disk on the device fast path to save one int.
     """
 
-    def __init__(self, ckpt_dir: str):
+    def __init__(self, ckpt_dir: str, bump_fsync_every: int = 16):
         os.makedirs(ckpt_dir, exist_ok=True)
         self.path = os.path.join(ckpt_dir, "cache_journal.jsonl")
+        self.bump_fsync_every = bump_fsync_every
+        self._bumps_since_sync = 0
 
     def append(self, emb: np.ndarray, response: str,
                model_fp: Optional[str] = None) -> None:
@@ -227,6 +236,22 @@ class CacheJournal:
             f.write(rec + "\n")
             f.flush()
             os.fsync(f.fileno())
+        self._bumps_since_sync = 0  # the put's fsync covered pending bumps
+
+    def append_bumps(self, bumps: Dict[int, int]) -> None:
+        """Journal one probe's LFU frequency bumps ({slot: count}). Written
+        immediately (survives process death), fsync'd every Nth batch."""
+        if not bumps:
+            return
+        rec = json.dumps({"bumps": [[int(s), int(n)] for s, n in
+                                    sorted(bumps.items())]})
+        self._bumps_since_sync += 1
+        with open(self.path, "a", encoding="utf-8") as f:
+            f.write(rec + "\n")
+            f.flush()
+            if self._bumps_since_sync >= self.bump_fsync_every:
+                os.fsync(f.fileno())
+                self._bumps_since_sync = 0
 
     def entries(self) -> List[Dict[str, Any]]:
         import base64
@@ -241,10 +266,13 @@ class CacheJournal:
                     continue
                 try:
                     rec = json.loads(line)
-                    rec["emb"] = np.frombuffer(
-                        base64.b64decode(rec["emb"]), np.float32
-                    )
-                except (json.JSONDecodeError, KeyError, ValueError):
+                    if "bumps" in rec:
+                        rec["bumps"] = {int(s): int(n) for s, n in rec["bumps"]}
+                    else:
+                        rec["emb"] = np.frombuffer(
+                            base64.b64decode(rec["emb"]), np.float32
+                        )
+                except (json.JSONDecodeError, KeyError, ValueError, TypeError):
                     # torn tail write from a crash mid-append: ignore
                     continue
                 out.append(rec)
@@ -254,3 +282,4 @@ class CacheJournal:
         """Drop all entries (call only after a full cache snapshot saved)."""
         if os.path.exists(self.path):
             os.remove(self.path)
+        self._bumps_since_sync = 0

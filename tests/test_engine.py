@@ -227,6 +227,45 @@ def test_cache_journal_restart_parity(small_engine_cfg, cpu_device, tmp_path):
     assert len(eng3.cache) == 2
 
 
+def test_lfu_bump_journal_eviction_order_parity(small_engine_cfg, cpu_device,
+                                                tmp_path):
+    """LFU bumps between checkpoints are journaled (batched fsync), so a
+    killed-and-restarted cache reproduces the EXACT eviction order the
+    original would have used — the reference's Redis kept frequencies
+    durable (app/main.py:92-96); ROADMAP r02 #5."""
+    from sqe_tpu.config import CacheConfig
+
+    d = small_engine_cfg.model.embed_dim
+    cfg = small_engine_cfg.with_overrides(
+        checkpoint_dir=str(tmp_path / "cb"),
+        cache=CacheConfig(capacity=3, embed_dim=d),
+    )
+    eng = RAGEngine(cfg, device=cpu_device, backend=EchoBackend())
+    keys = np.eye(4, d, dtype=np.float32)     # orthogonal -> no cross hits
+    for i in range(3):                        # fill the cache
+        eng._cache_put(keys[i], f"answer {i}")
+    # Bumps AFTER the last put: only the journal can know about them.
+    assert eng.cache.get(keys[0]) == "answer 0"
+    assert eng.cache.get(keys[2]) == "answer 2"
+    assert eng.cache.get(keys[2]) == "answer 2"
+
+    # Crash + restart (no snapshot was ever written -> journal-only replay).
+    eng2 = RAGEngine(cfg, device=cpu_device, backend=EchoBackend())
+    eng2.load_checkpoint()
+    np.testing.assert_array_equal(
+        np.asarray(eng2.cache._freqs), np.asarray(eng.cache._freqs)
+    )
+
+    # The next insert must evict the same least-frequent slot in both
+    # (slot 1: freq 1 vs bumped slots 0 and 2).
+    eng._cache_put(keys[3], "answer 3")
+    eng2._cache_put(keys[3], "answer 3")
+    assert eng.cache._responses == eng2.cache._responses
+    assert eng.cache.get(keys[1]) is None
+    assert eng2.cache.get(keys[1]) is None
+    assert eng2.cache.get(keys[3]) == "answer 3"
+
+
 def test_build_index_cli_uses_trained_model(small_engine_cfg, cpu_device,
                                             tmp_path, monkeypatch):
     """`python -m sqe_tpu build-index` must embed with the checkpointed
