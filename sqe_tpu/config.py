@@ -107,9 +107,14 @@ class EngineConfig:
     # | "auto" (router: flat while the per-device corpus fits HBM and the
     # scan meets the latency contract, ivf past that — index/router.py).
     index_kind: str = "flat"
-    # int8 flat-index storage: half the HBM per vector + the int8 MXU rate
-    # via the fused int8 scan kernel, at ~0.96 epsilon-recall (DESIGN.md §2b).
+    # int8 flat-index storage: the int8 MXU rate + halved scan traffic via
+    # the fused int8 scan kernel. With int8_rerank (default) an int8
+    # RESIDUAL plane restores bf16-class recall by exact-reranking the
+    # scan's top candidates (2 bytes/dim total — bf16 memory parity);
+    # int8_rerank=False is the half-memory capacity mode at the scan-only
+    # measured recall (0.946-0.966 — below the 0.95 gate at 1M, DESIGN §8).
     int8_vectors: bool = False
+    int8_rerank: bool = True
     checkpoint_dir: Optional[str] = None
     mesh_shape: Optional[tuple] = None  # e.g. (8,) to shard the index over 8 chips
 

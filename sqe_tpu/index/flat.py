@@ -29,6 +29,89 @@ from sqe_tpu.ops.fused_scan import (
     fused_scan_topk_int8,
     pick_bn,
 )
+from sqe_tpu.ops.gather_dot import gather_dot
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "use_kernel", "interpret"))
+def int8_rerank_topk(
+    queries: jax.Array,     # [B, D] f32 (normalized)
+    cand_i: jax.Array,      # [B, R] int32 candidate ids (-1 = pad)
+    primary: jax.Array,     # [N, D] int8
+    pscales: jax.Array,     # [N, 1] f32
+    residual: jax.Array,    # [N, D] int8 (quantized primary reconstruction err)
+    rscales: jax.Array,     # [N, 1] f32
+    *,
+    k: int,
+    use_kernel: bool = True,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact-precision rerank of the int8 scan's top-R candidates.
+
+    Residual refinement: ``x ~= p*ps + r*rs`` with per-element error
+    <= ps/508 — reconstruction noise ~1e-8 on the cosine, far below the
+    1e-5 epsilon-recall gate, so the rerank ordering is effectively the
+    bf16-exact ordering. Each candidate costs two contiguous 1 KB row DMAs
+    (gather_dot with M0=1 over each plane); total rerank traffic is
+    B*R*2*D bytes, independent of N. Returns (scores [B, k], ids [B, k]).
+    """
+    n, d = primary.shape
+    ids = jnp.maximum(cand_i, 0)
+    qf = queries.astype(jnp.float32)
+    if use_kernel:
+        # The kernel casts gathered int8 rows to f32 in VMEM and dots with
+        # the f32 query block — same arithmetic as the XLA path below.
+        s1 = gather_dot(primary.reshape(n, 1, d), ids, qf,
+                        interpret=interpret)               # [B, R]
+        s2 = gather_dot(residual.reshape(n, 1, d), ids, qf,
+                        interpret=interpret)
+    else:
+        # XLA fallback (CPU tests): f32 accumulate; gather_dot_reference is
+        # unsuitable here — it casts queries to the GATHERED dtype (int8).
+        s1 = jnp.einsum("bd,brd->br", qf, primary[ids].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+        s2 = jnp.einsum("bd,brd->br", qf, residual[ids].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    score = s1 * pscales[ids, 0] + s2 * rscales[ids, 0]
+    score = jnp.where(cand_i >= 0, score, -jnp.inf)
+    k_eff = min(k, score.shape[1])
+    ms, sel = jax.lax.top_k(score, k_eff)
+    mi = jnp.take_along_axis(cand_i, sel, axis=1)
+    mi = jnp.where(jnp.isfinite(ms), mi, -1)
+    if k_eff < k:
+        pad = k - k_eff
+        ms = jnp.pad(ms, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        mi = jnp.pad(mi, ((0, 0), (0, pad)), constant_values=-1)
+    return ms, mi
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "r", "bn", "use_kernel", "interpret")
+)
+def int8_scan_rerank_topk(
+    queries: jax.Array,
+    primary: jax.Array,
+    pscales: jax.Array,
+    residual: jax.Array,
+    rscales: jax.Array,
+    valid_n: jax.Array,
+    *,
+    k: int,
+    r: int,
+    bn: int,
+    use_kernel: bool = True,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """One device program: int8 fused scan -> top-r candidates -> exact
+    residual rerank -> top-k. The int8 engine's recall-restoring serving
+    path (VERDICT r02 #2)."""
+    _, cand_i = fused_scan_topk_int8(
+        queries, primary, pscales, valid_n, k=r, bn=bn, interpret=interpret
+    )
+    return int8_rerank_topk(
+        queries, cand_i, primary, pscales, residual, rscales,
+        k=k, use_kernel=use_kernel, interpret=interpret,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_n", "exact", "approx_topk"))
@@ -105,6 +188,13 @@ def _dequantize(vals: jax.Array, scales: jax.Array) -> jax.Array:
     return vals.astype(jnp.float32) * scales
 
 
+@jax.jit
+def _dequantize2(vals, scales, rvals, rscales) -> jax.Array:
+    """Primary + residual reconstruction (near-exact; see int8_rerank_topk)."""
+    return (vals.astype(jnp.float32) * scales
+            + rvals.astype(jnp.float32) * rscales)
+
+
 class FlatIndex:
     """Device-resident exact cosine index with host-side chunk metadata."""
 
@@ -116,6 +206,8 @@ class FlatIndex:
         device: Optional[jax.Device] = None,
         exact: bool = True,
         scan_impl: str = "auto",
+        rerank: Optional[bool] = None,
+        rerank_depth: int = 128,
     ):
         """``exact=True`` scores at Precision.HIGHEST (the ground-truth oracle
         mode); ``exact=False`` uses the MXU's native bf16-pass f32 matmul —
@@ -131,9 +223,16 @@ class FlatIndex:
 
         ``dtype=jnp.int8`` stores symmetric per-row-quantized vectors plus
         f32 row scales: half the HBM of bf16 and the int8 MXU rate via the
-        int8 fused kernel (DESIGN.md §2b; epsilon-recall ~0.96 vs bf16's
-        ~0.99 at 100k). CPU/non-fused searches dequantize and use the
-        blocked scan. Incompatible with ``exact=True``."""
+        int8 fused kernel (DESIGN.md §2b). Scan-only int8 sheds recall at
+        scale (0.946 at 1M, below the >=0.95 gate — VERDICT r02), so by
+        default (``rerank=None`` -> True for int8) the index ALSO stores an
+        int8 RESIDUAL plane (total 2 bytes/dim — bf16 memory parity) and
+        reranks the scan's top ``rerank_depth`` candidates at effectively
+        exact precision (int8_rerank_topk): bf16-class recall at the int8
+        scan's speed. ``rerank=False`` keeps the half-memory scan-only mode
+        for capacity-bound deployments that accept its measured recall.
+        CPU/non-fused searches dequantize and use the blocked scan.
+        Incompatible with ``exact=True``."""
         assert scan_impl in ("auto", "fused", "blocked")
         self.embed_dim = embed_dim
         self.block_n = block_n
@@ -143,7 +242,13 @@ class FlatIndex:
         self.scan_impl = scan_impl
         self._int8 = jnp.dtype(dtype) == jnp.int8
         assert not (self._int8 and exact), "int8 storage has no oracle mode"
+        self.rerank = bool(rerank) if rerank is not None else self._int8
+        assert not (self.rerank and not self._int8), \
+            "rerank applies to int8 storage (bf16/f32 scans are near-exact)"
+        self.rerank_depth = rerank_depth
         self._scales: Optional[jax.Array] = None   # [N_padded, 1] f32 (int8)
+        self._residual: Optional[jax.Array] = None  # [N_padded, D] int8
+        self._rscales: Optional[jax.Array] = None   # [N_padded, 1] f32
         self.metas: List[Dict[str, Any]] = []
         self._vectors: Optional[jax.Array] = None   # [N_padded, D] on device
         self._n = 0
@@ -171,10 +276,16 @@ class FlatIndex:
             if self._vectors is None:
                 return None
             if self._int8:
-                return (
+                base = (
                     self._vectors[: self._n].astype(jnp.float32)
                     * self._scales[: self._n]
                 )
+                if self.rerank:
+                    base = base + (
+                        self._residual[: self._n].astype(jnp.float32)
+                        * self._rscales[: self._n]
+                    )
+                return base
             return self._vectors[: self._n]
 
     def add(
@@ -209,12 +320,29 @@ class FlatIndex:
         vals = np.clip(np.round(emb / scales), -127, 127).astype(np.int8)
         return vals, scales
 
+    @staticmethod
+    def _quantize_residual_host(
+        emb: np.ndarray, vals: np.ndarray, scales: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Second-stage int8 of the reconstruction error: per-element error
+        drops to <= scale/508 — cosine noise ~1e-8, i.e. exact for ranking."""
+        r = emb - vals.astype(np.float32) * scales
+        rscales = np.maximum(
+            np.max(np.abs(r), axis=1, keepdims=True) / 127.0, 1e-12
+        ).astype(np.float32)
+        rvals = np.clip(np.round(r / rscales), -127, 127).astype(np.int8)
+        return rvals, rscales
+
     def _add_locked(self, emb: np.ndarray, new_metas: List[Dict[str, Any]]) -> None:
         n_new = emb.shape[0]
         needed = self._n + n_new
         cap = 0 if self._vectors is None else self._vectors.shape[0]
         if self._int8:
             new_vals, new_scales = self._quantize_host(emb)
+            if self.rerank:
+                new_rvals, new_rscales = self._quantize_residual_host(
+                    emb, new_vals, new_scales
+                )
         if needed > cap:
             # Grow: power-of-two doubling (always divisible by block_n once
             # past it, so the blocked scan needs no re-padding).
@@ -231,6 +359,16 @@ class FlatIndex:
                 sbuf[self._n : needed] = new_scales
                 self._vectors = self._put(jnp.asarray(buf))
                 self._scales = self._put(jnp.asarray(sbuf))
+                if self.rerank:
+                    rbuf = np.zeros((new_cap, self.embed_dim), np.int8)
+                    rsbuf = np.full((new_cap, 1), 1e-12, np.float32)
+                    if self._n:
+                        rbuf[: self._n] = np.asarray(self._residual[: self._n])
+                        rsbuf[: self._n] = np.asarray(self._rscales[: self._n])
+                    rbuf[self._n : needed] = new_rvals
+                    rsbuf[self._n : needed] = new_rscales
+                    self._residual = self._put(jnp.asarray(rbuf))
+                    self._rscales = self._put(jnp.asarray(rsbuf))
             else:
                 buf = np.zeros((new_cap, self.embed_dim), np.float32)
                 if self._n:
@@ -249,6 +387,15 @@ class FlatIndex:
                     self._scales, self._put(jnp.asarray(new_scales)),
                     jnp.int32(self._n),
                 )
+                if self.rerank:
+                    self._residual = _insert_rows(
+                        self._residual, self._put(jnp.asarray(new_rvals)),
+                        jnp.int32(self._n),
+                    )
+                    self._rscales = _insert_rows(
+                        self._rscales, self._put(jnp.asarray(new_rscales)),
+                        jnp.int32(self._n),
+                    )
             else:
                 update = self._put(jnp.asarray(emb, dtype=self.dtype))
                 self._vectors = _insert_rows(
@@ -260,11 +407,18 @@ class FlatIndex:
     def _put(self, arr: jax.Array) -> jax.Array:
         return jax.device_put(arr, self.device) if self.device is not None else arr
 
+    def _rerank_r(self, k_eff: int) -> int:
+        """Candidate depth for the rerank stage: enough that the true top-k
+        survives int8 selection noise (measured in DESIGN §8d), clamped to
+        the index size."""
+        return max(k_eff, min(self.rerank_depth, self._n))
+
     def scan_plan(self, k_eff: int) -> Tuple[str, int]:
         """The scorer this index would use for a k_eff search: (scan,
-        block_n) with scan in {"int8", "fused", "dequant", "blocked"}.
-        Single source of truth shared by search_ids and the fused serving
-        frontend (serving/pipeline.py) so both rank identically."""
+        block_n) with scan in {"int8_rerank", "int8", "fused", "dequant",
+        "blocked"}. Single source of truth shared by search_ids and the
+        fused serving frontend (serving/pipeline.py) so both rank
+        identically."""
         length = self._vectors.shape[0]
         block = min(self.block_n, length)
         if length % block:
@@ -272,12 +426,13 @@ class FlatIndex:
             # power-of-two block that divides it.
             block = 1 << (min(self.block_n, length).bit_length() - 1)
         if self._int8 and self._use_fused(length, k_eff):
-            return "int8", block
+            return ("int8_rerank" if self.rerank else "int8"), block
         if self._use_fused(length, k_eff):
             return "fused", block
         if self._int8:
-            # Non-fused int8 fallback (CPU tests / tiny indices):
-            # dequantize and run the blocked scan.
+            # Non-fused int8 fallback (CPU tests / tiny indices): dequantize
+            # (with the residual plane when present — near-exact) and run
+            # the blocked scan.
             return "dequant", block
         return "blocked", block
 
@@ -293,7 +448,13 @@ class FlatIndex:
             k_eff = min(k, self._n)
             length = self._vectors.shape[0]
             scan, block = self.scan_plan(k_eff)
-            if scan == "int8":
+            if scan == "int8_rerank":
+                scores, ids = int8_scan_rerank_topk(
+                    q, self._vectors, self._scales,
+                    self._residual, self._rscales, jnp.int32(self._n),
+                    k=k_eff, r=self._rerank_r(k_eff), bn=pick_bn(length),
+                )
+            elif scan == "int8":
                 scores, ids = fused_scan_topk_int8(
                     q, self._vectors, self._scales, jnp.int32(self._n),
                     k=k_eff, bn=pick_bn(length),
@@ -304,7 +465,11 @@ class FlatIndex:
                     bn=pick_bn(length),
                 )
             elif scan == "dequant":
-                deq = _dequantize(self._vectors, self._scales)
+                if self.rerank:
+                    deq = _dequantize2(self._vectors, self._scales,
+                                       self._residual, self._rscales)
+                else:
+                    deq = _dequantize(self._vectors, self._scales)
                 scores, ids = flat_topk(
                     q, deq, jnp.int32(self._n), k=k_eff,
                     block_n=block, exact=False,

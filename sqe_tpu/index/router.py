@@ -78,6 +78,7 @@ def choose_index_kind(
     n_devices: int = 1,
     embed_dim: int = 1024,
     int8: bool = False,
+    int8_rerank: bool = True,
     scan_budget_ms: float = 50.0,
     hbm_budget_bytes: int = HBM_VECTOR_BUDGET_BYTES,
 ) -> str:
@@ -96,7 +97,10 @@ def choose_index_kind(
     fallback and the latency engine if a sub-scan budget is demanded).
     """
     per_dev = -(-n_rows // max(1, n_devices))
-    bytes_per_row = embed_dim * (1 if int8 else 2)  # int8 vs bf16 storage
+    # int8 WITH the recall-restoring residual rerank plane costs 2 bytes/dim
+    # (bf16 memory parity); scan-only int8 (the capacity mode that accepts
+    # its measured sub-0.95 recall at 1M+) is the only 1-byte/dim layout.
+    bytes_per_row = embed_dim * (1 if (int8 and not int8_rerank) else 2)
     if per_dev * bytes_per_row > hbm_budget_bytes:
         log.warning(
             "%d rows/device exceeds the %d GB HBM vector budget; routing to "
@@ -126,6 +130,7 @@ class AutoIndex:
         n_devices: int = 1,
         embed_dim: int = 1024,
         int8: bool = False,
+        int8_rerank: bool = True,
         scan_budget_ms: float = 50.0,
         hbm_budget_bytes: int = HBM_VECTOR_BUDGET_BYTES,
         auto_rebuild: bool = True,
@@ -133,6 +138,7 @@ class AutoIndex:
         self._make_index = make_index
         self._router_kw = dict(
             n_devices=n_devices, embed_dim=embed_dim, int8=int8,
+            int8_rerank=int8_rerank,
             scan_budget_ms=scan_budget_ms, hbm_budget_bytes=hbm_budget_bytes,
         )
         self.auto_rebuild = auto_rebuild

@@ -114,6 +114,7 @@ class RAGEngine:
                 self._make_index_of_kind,
                 embed_dim=self.cfg.model.embed_dim,
                 int8=self.cfg.int8_vectors,
+                int8_rerank=self.cfg.int8_rerank,
             )
         return self._make_index_of_kind(self.cfg.index_kind)
 
@@ -139,6 +140,8 @@ class RAGEngine:
                 device=self.device,
                 dtype=dtype,
                 exact=not on_tpu and not self.cfg.int8_vectors,
+                rerank=(self.cfg.int8_rerank if self.cfg.int8_vectors
+                        else None),
             )
         if kind == "ivf":
             from sqe_tpu.index import IVFIndex

@@ -78,7 +78,8 @@ def retrieval_program(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "attn_impl", "k", "block_n", "exact", "scan"),
+    static_argnames=("cfg", "attn_impl", "k", "block_n", "exact", "scan",
+                     "rerank_r"),
 )
 def retrieval_program_flat(
     params,
@@ -90,6 +91,8 @@ def retrieval_program_flat(
     vectors: jax.Array,
     scales: Optional[jax.Array],   # [N, 1] f32 per-row scales (int8 storage)
     valid_n: jax.Array,
+    residual: Optional[jax.Array] = None,  # [N, D] int8 (rerank plane)
+    rscales: Optional[jax.Array] = None,   # [N, 1] f32
     *,
     cfg,
     attn_impl: str,
@@ -97,16 +100,23 @@ def retrieval_program_flat(
     block_n: int,
     exact: bool,
     scan: str = "blocked",
+    rerank_r: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Flat-index variant: embed -> cache probe -> MXU scan.
 
     ``scan`` mirrors FlatIndex.search_ids' scorer choice so the fused
-    program ranks identically to the index's own search: "fused" (bf16
+    program ranks identically to the index's own search: "int8_rerank"
+    (int8 kernel -> top-rerank_r -> exact residual rerank), "fused" (bf16
     Pallas kernel), "int8" (int8 kernel, scales applied in-VMEM),
     "dequant" (int8 storage below the fused kernel's shape floor:
-    dequantize + blocked scan), "blocked" (XLA blocked scan).
+    dequantize + blocked scan — with the residual plane when present),
+    "blocked" (XLA blocked scan).
     """
-    from sqe_tpu.index.flat import flat_topk
+    from sqe_tpu.index.flat import (
+        _dequantize2,
+        flat_topk,
+        int8_scan_rerank_topk,
+    )
     from sqe_tpu.ops.fused_scan import (
         fused_scan_topk,
         fused_scan_topk_int8,
@@ -121,7 +131,12 @@ def retrieval_program_flat(
     sims = jnp.where(cache_valid[None, :], sims, -jnp.inf)
     slot = jnp.argmax(sims, axis=1).astype(jnp.int32)
     hit = jnp.max(sims, axis=1) >= cache_threshold
-    if scan == "int8":
+    if scan == "int8_rerank":
+        scores, out_ids = int8_scan_rerank_topk(
+            emb, vectors, scales, residual, rscales, valid_n,
+            k=k, r=rerank_r, bn=pick_bn(vectors.shape[0]),
+        )
+    elif scan == "int8":
         scores, out_ids = fused_scan_topk_int8(
             emb, vectors, scales, valid_n, k=k, bn=pick_bn(vectors.shape[0])
         )
@@ -130,7 +145,10 @@ def retrieval_program_flat(
             emb, vectors, valid_n, k=k, bn=pick_bn(vectors.shape[0])
         )
     elif scan == "dequant":
-        deq = vectors.astype(jnp.float32) * scales
+        if residual is not None:
+            deq = _dequantize2(vectors, scales, residual, rscales)
+        else:
+            deq = vectors.astype(jnp.float32) * scales
         scores, out_ids = flat_topk(emb, deq, valid_n, k=k, block_n=block_n,
                                     exact=False)
     else:
@@ -198,12 +216,15 @@ class FusedFrontend:
                     self.embedder.params, ids, mask,
                     keys, valid, threshold,
                     idx._vectors, idx._scales, jnp.int32(n),
+                    idx._residual, idx._rscales,
                     cfg=self.embedder.cfg,
                     attn_impl=self.embedder.attn_impl,
                     k=k_eff,
                     block_n=block,
                     exact=idx.exact,
                     scan=scan,
+                    rerank_r=idx._rerank_r(k_eff) if scan == "int8_rerank"
+                    else 0,
                 )
         else:
             from sqe_tpu.index.hnsw import plan_fused_gather
