@@ -10,8 +10,10 @@ scan per lookup with racy LRANGE/LSET/LREM updates (SURVEY.md B5). Here:
 - A hit requires cosine >= ``sim_threshold`` (0.96, app/main.py:44) and bumps
   the entry's frequency (app/main.py:92-96).
 - PUT evicts the least-frequent entry once ``capacity`` (1000, app/main.py:42)
-  is reached, then inserts (app/main.py:121-128). Frequencies are a device
-  array; eviction picks argmin over valid slots.
+  is reached, then inserts (app/main.py:121-128). Frequencies live HOST-side
+  (every bump is observed on the host anyway for journaling), so the evict
+  slot is a host argmin and the insert dispatch never syncs — a cache miss
+  costs one fire-and-forget device program after generation (DESIGN §9c).
 - Responses (strings) stay host-side, slot-indexed. All mutation goes through
   a single writer (the engine), eliminating the reference's cache races.
 
@@ -20,7 +22,6 @@ Batched probe supports the B=1024 query-stream path (BASELINE.json config 3).
 
 from __future__ import annotations
 
-import functools
 import threading
 from typing import List, Optional, Tuple
 
@@ -32,54 +33,42 @@ from sqe_tpu.config import CacheConfig
 from sqe_tpu.ops.distance import l2_normalize
 
 
-@functools.partial(jax.jit, donate_argnums=(2,))
-def _probe_and_bump(
+@jax.jit
+def _probe(
     queries: jax.Array,    # [B, D] normalized
     keys: jax.Array,       # [C, D]
-    freqs: jax.Array,      # [C] int32 (donated)
     valid: jax.Array,      # [C] bool
     threshold: jax.Array,  # scalar f32
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (hit [B] bool, slot [B] int32, updated freqs [C])."""
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (hit [B] bool, slot [B] int32)."""
     sims = jax.lax.dot_general(
         queries.astype(jnp.float32), keys.astype(jnp.float32),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )                                                   # [B, C]
     sims = jnp.where(valid[None, :], sims, -jnp.inf)
     slot = jnp.argmax(sims, axis=1).astype(jnp.int32)
-    best = jnp.max(sims, axis=1)
-    hit = best >= threshold
-    bump = jax.ops.segment_sum(
-        hit.astype(jnp.int32), slot, num_segments=freqs.shape[0]
-    )
-    return hit, slot, freqs + bump
+    hit = jnp.max(sims, axis=1) >= threshold
+    return hit, slot
 
 
-# Only freqs are donated: every dispatch touching freqs happens under the
-# cache lock, so donation is safe. keys/valid must NOT be donated — the fused
-# pipeline (serving/pipeline.py) captures them via device_arrays() and
-# dispatches WITHOUT the lock from the batcher thread; donating them in a
-# concurrent put() would delete the captured buffers mid-flight ("Array has
-# been deleted" on TPU, where donation actually aliases).
-@functools.partial(jax.jit, donate_argnums=(1,))
+# Nothing is donated: the fused pipeline (serving/pipeline.py) captures
+# keys/valid via device_arrays() and dispatches WITHOUT the lock from the
+# batcher thread; donating them in a concurrent put() would delete the
+# captured buffers mid-flight ("Array has been deleted" on TPU, where
+# donation actually aliases). LFU frequencies live HOST-side (the journaled
+# bump stream keeps an exact mirror), so eviction needs no device argmin and
+# put() is one fire-and-forget dispatch — no device sync on the answer path.
+@jax.jit
 def _insert(
     keys: jax.Array,      # [C, D]
-    freqs: jax.Array,     # [C] (donated)
     valid: jax.Array,     # [C]
     new_key: jax.Array,   # [D]
-    size: jax.Array,      # scalar int32: current number of valid entries
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """LFU insert: fill next free slot, else evict argmin-freq. Returns
-    (keys, freqs, valid, slot)."""
-    capacity = keys.shape[0]
-    evict_slot = jnp.argmin(
-        jnp.where(valid, freqs, jnp.iinfo(jnp.int32).max)
-    ).astype(jnp.int32)
-    slot = jnp.where(size < capacity, size.astype(jnp.int32), evict_slot)
+    slot: jax.Array,      # scalar int32 (host-computed: fill or LFU evict)
+) -> Tuple[jax.Array, jax.Array]:
+    """Write one entry at ``slot``. Returns (keys, valid)."""
     keys = keys.at[slot].set(new_key.astype(keys.dtype))
-    freqs = freqs.at[slot].set(1)
     valid = valid.at[slot].set(True)
-    return keys, freqs, valid, slot
+    return keys, valid
 
 
 class DeviceLFUCache:
@@ -95,7 +84,11 @@ class DeviceLFUCache:
         c, d = self.cfg.capacity, self.cfg.embed_dim
         put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
         self._keys = put(jnp.zeros((c, d), jnp.float32))
-        self._freqs = put(jnp.zeros((c,), jnp.int32))
+        # LFU frequencies are a HOST array: the device only ever needs them
+        # for eviction argmin, and keeping them here (exact, thanks to the
+        # journaled bump stream) lets put() pick the evict slot without a
+        # ~29 ms device round-trip on the answer path (DESIGN §9c).
+        self._freqs = np.zeros((c,), np.int32)
         self._valid = put(jnp.zeros((c,), jnp.bool_))
         self._threshold = put(jnp.float32(self.cfg.sim_threshold))
         self._responses: List[Optional[str]] = [None] * c
@@ -121,19 +114,13 @@ class DeviceLFUCache:
             if self._size == 0:
                 self.misses += q.shape[0]
                 return [None] * q.shape[0]
-            hit, slot, new_freqs = _probe_and_bump(
-                q, self._keys, self._freqs, self._valid, self._threshold
-            )
-            self._freqs = new_freqs
+            hit, slot = _probe(q, self._keys, self._valid, self._threshold)
             hit_np = np.asarray(hit)
             slot_np = np.asarray(slot)
             out: List[Optional[str]] = []
             bumped: dict = {}
             for h, s in zip(hit_np, slot_np):
                 if bool(h):
-                    # The device program bumped this slot's frequency
-                    # (regardless of response presence) — journal exactly
-                    # what the device applied.
                     bumped[int(s)] = bumped.get(int(s), 0) + 1
                 if bool(h) and self._responses[int(s)] is not None:
                     out.append(self._responses[int(s)])
@@ -141,6 +128,8 @@ class DeviceLFUCache:
                 else:
                     out.append(None)
                     self.misses += 1
+            for s, nb in bumped.items():
+                self._freqs[s] += nb
             if bumped and self.on_bump is not None:
                 self.on_bump(bumped)
             return out
@@ -163,11 +152,22 @@ class DeviceLFUCache:
         if self.device is not None:
             qn = jax.device_put(qn, self.device)
         with self._lock:
-            self._keys, self._freqs, self._valid, slot = _insert(
-                self._keys, self._freqs, self._valid, qn, jnp.int32(self._size)
+            # Host-side slot choice (fill, else LFU evict over live slots —
+            # slots fill sequentially so valid == arange < size). Matches the
+            # old device argmin bit-for-bit and, crucially, needs no device
+            # sync: the _insert dispatch below is fire-and-forget, so a miss
+            # costs ONE device program on the critical path.
+            cap = self.cfg.capacity
+            if self._size < cap:
+                slot = self._size
+            else:
+                slot = int(np.argmin(self._freqs[:self._size]))
+            self._keys, self._valid = _insert(
+                self._keys, self._valid, qn, jnp.int32(slot)
             )
-            self._responses[int(np.asarray(slot))] = response
-            self._size = min(self._size + 1, self.cfg.capacity)
+            self._freqs[slot] = 1
+            self._responses[slot] = response
+            self._size = min(self._size + 1, cap)
 
     # ---- fused-pipeline support (serving/pipeline.py) -----------------------
 
@@ -194,7 +194,7 @@ class DeviceLFUCache:
                     out.append(None)
                     self.misses += 1
             if bump.any():
-                self._freqs = self._freqs + jnp.asarray(bump)
+                self._freqs += bump
                 if self.on_bump is not None:
                     self.on_bump({int(s): int(n) for s, n in
                                   enumerate(bump) if n})
@@ -206,11 +206,9 @@ class DeviceLFUCache:
         if not bumps:
             return
         with self._lock:
-            add = np.zeros(self.cfg.capacity, dtype=np.int32)
             for s, n in bumps.items():
                 if 0 <= int(s) < self.cfg.capacity:
-                    add[int(s)] = int(n)
-            self._freqs = self._freqs + jnp.asarray(add)
+                    self._freqs[int(s)] += int(n)
 
     def snapshot(self) -> dict:
         """Host-side state for checkpointing."""
@@ -227,7 +225,7 @@ class DeviceLFUCache:
         put = (lambda x: jax.device_put(x, self.device)) if self.device else jnp.asarray
         with self._lock:
             self._keys = put(jnp.asarray(state["keys"], jnp.float32))
-            self._freqs = put(jnp.asarray(state["freqs"], jnp.int32))
+            self._freqs = np.asarray(state["freqs"], np.int32).copy()
             self._valid = put(jnp.asarray(state["valid"], jnp.bool_))
             self._responses = list(state["responses"])
             self._size = int(state["size"])

@@ -95,11 +95,13 @@ def test_captured_device_arrays_survive_puts(cpu_device):
 
 
 def test_insert_donation_set():
-    """_insert donates only freqs (arg 1); _probe_and_bump only freqs (arg 2)."""
+    """Neither _insert nor _probe may donate anything: the fused pipeline
+    captures keys/valid without the lock, and LFU freqs now live host-side
+    (no device buffer to donate)."""
     from sqe_tpu.cache import semantic_cache
 
-    assert semantic_cache._insert._jit_info.donate_argnums == (1,)
-    assert semantic_cache._probe_and_bump._jit_info.donate_argnums == (2,)
+    assert semantic_cache._insert._jit_info.donate_argnums == ()
+    assert semantic_cache._probe._jit_info.donate_argnums == ()
 
 
 def test_flat_index_add_excluded_by_lock(cpu_device):
