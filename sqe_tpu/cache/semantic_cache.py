@@ -31,18 +31,20 @@ import numpy as np
 
 from sqe_tpu.config import CacheConfig
 from sqe_tpu.ops.distance import l2_normalize
+from sqe_tpu.utils import dispatch
 
 
 @jax.jit
 def _probe(
-    queries: jax.Array,    # [B, D] normalized
+    queries: jax.Array,    # [B, D] raw (normalized in-program)
     keys: jax.Array,       # [C, D]
     valid: jax.Array,      # [C] bool
     threshold: jax.Array,  # scalar f32
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (hit [B] bool, slot [B] int32)."""
+    """Returns (hit [B] bool, slot [B] int32). Normalization happens inside
+    the program so a GET is exactly one device dispatch (utils/dispatch.py)."""
     sims = jax.lax.dot_general(
-        queries.astype(jnp.float32), keys.astype(jnp.float32),
+        l2_normalize(queries.astype(jnp.float32)), keys.astype(jnp.float32),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )                                                   # [B, C]
     sims = jnp.where(valid[None, :], sims, -jnp.inf)
@@ -62,11 +64,13 @@ def _probe(
 def _insert(
     keys: jax.Array,      # [C, D]
     valid: jax.Array,     # [C]
-    new_key: jax.Array,   # [D]
+    new_key: jax.Array,   # [D] raw (normalized in-program)
     slot: jax.Array,      # scalar int32 (host-computed: fill or LFU evict)
 ) -> Tuple[jax.Array, jax.Array]:
-    """Write one entry at ``slot``. Returns (keys, valid)."""
-    keys = keys.at[slot].set(new_key.astype(keys.dtype))
+    """Write one entry at ``slot``. Returns (keys, valid). Normalizes the key
+    in-program so a PUT is one fire-and-forget dispatch, not a normalize
+    chain + insert."""
+    keys = keys.at[slot].set(l2_normalize(new_key).astype(keys.dtype))
     valid = valid.at[slot].set(True)
     return keys, valid
 
@@ -107,7 +111,7 @@ class DeviceLFUCache:
 
     def get_batch(self, query_embs: np.ndarray | jax.Array) -> List[Optional[str]]:
         """Batched probe: one matmul for B queries. Hit iff cos >= threshold."""
-        q = l2_normalize(jnp.asarray(query_embs, dtype=jnp.float32))
+        q = jnp.asarray(query_embs, dtype=jnp.float32)
         if self.device is not None:
             q = jax.device_put(q, self.device)
         with self._lock:
@@ -115,8 +119,10 @@ class DeviceLFUCache:
                 self.misses += q.shape[0]
                 return [None] * q.shape[0]
             hit, slot = _probe(q, self._keys, self._valid, self._threshold)
+            dispatch.program("cache_probe")
             hit_np = np.asarray(hit)
             slot_np = np.asarray(slot)
+            dispatch.sync("cache_probe")
             out: List[Optional[str]] = []
             bumped: dict = {}
             for h, s in zip(hit_np, slot_np):
@@ -148,7 +154,7 @@ class DeviceLFUCache:
         q = np.asarray(query_emb, dtype=np.float32)
         if q.ndim == 2:
             q = q[0]
-        qn = l2_normalize(jnp.asarray(q))
+        qn = jnp.asarray(q)
         if self.device is not None:
             qn = jax.device_put(qn, self.device)
         with self._lock:
@@ -165,6 +171,7 @@ class DeviceLFUCache:
             self._keys, self._valid = _insert(
                 self._keys, self._valid, qn, jnp.int32(slot)
             )
+            dispatch.program("cache_insert")
             self._freqs[slot] = 1
             self._responses[slot] = response
             self._size = min(self._size + 1, cap)

@@ -30,6 +30,7 @@ from sqe_tpu.ops.fused_scan import (
     pick_bn,
 )
 from sqe_tpu.ops.gather_dot import gather_dot
+from sqe_tpu.utils import dispatch
 
 
 @functools.partial(jax.jit,
@@ -444,6 +445,7 @@ class FlatIndex:
             b = np.asarray(query_emb).shape[0]
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
         q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
+        dispatch.program("query_normalize")
         with self.lock:   # capture+dispatch must exclude a concurrent donate
             k_eff = min(k, self._n)
             length = self._vectors.shape[0]
@@ -479,7 +481,10 @@ class FlatIndex:
                     q, self._vectors, jnp.int32(self._n), k=k_eff,
                     block_n=block, exact=self.exact,
                 )
-        return np.asarray(scores), np.asarray(ids)
+            dispatch.program("index_scan")
+        out = np.asarray(scores), np.asarray(ids)
+        dispatch.sync("index_scan")
+        return out
 
     def _use_fused(self, length: int, k: int) -> bool:
         if self.exact or self.scan_impl == "blocked":

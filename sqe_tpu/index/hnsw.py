@@ -34,6 +34,7 @@ from sqe_tpu.config import HNSWConfig
 from sqe_tpu.data.corpus import Chunk
 from sqe_tpu.index import hnsw_build
 from sqe_tpu.ops.distance import l2_normalize
+from sqe_tpu.utils import dispatch
 
 NEG_INF = jnp.float32(-jnp.inf)
 
@@ -556,6 +557,7 @@ class HNSWIndex:
                 self._nbr_vecs.dtype.itemsize, expand,
             )
         q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
+        dispatch.program("query_normalize")
         if self.device is not None:
             q = jax.device_put(q, self.device)
         if visited_impl == "auto":
@@ -575,11 +577,15 @@ class HNSWIndex:
             fused_gather=fused,
             visited_impl=visited_impl,
         )
+        dispatch.program("index_scan")
         if rerank is None:
             rerank = self._nbr_scales is not None
         if rerank:
             scores, ids = _exact_rerank(q, self._vectors, ids)
-        return np.asarray(scores), np.asarray(ids)
+            dispatch.program("index_rerank")
+        out = np.asarray(scores), np.asarray(ids)
+        dispatch.sync("index_scan")
+        return out
 
     def search(
         self, query_emb: np.ndarray, k: int = 3

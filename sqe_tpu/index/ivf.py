@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sqe_tpu.data.corpus import Chunk
 from sqe_tpu.ops.distance import l2_normalize
+from sqe_tpu.utils import dispatch
 
 
 def _to_meta(m: Dict[str, Any] | Chunk) -> Dict[str, Any]:
@@ -666,6 +667,7 @@ class IVFIndex:
         n_probe = n_probe or self.n_probe or max(8, c // 16)
         n_probe = min(n_probe, c)
         q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
+        dispatch.program("query_normalize")
         if self.device is not None:
             q = jax.device_put(q, self.device)
         scores, ids = ivf_search(
@@ -674,7 +676,10 @@ class IVFIndex:
             n_probe=n_probe, k=min(k, self._n),
             use_pallas=self._use_pallas(),
         )
-        return np.asarray(scores), np.asarray(ids)
+        dispatch.program("index_scan")
+        out = np.asarray(scores), np.asarray(ids)
+        dispatch.sync("index_scan")
+        return out
 
     def search(self, query_emb: np.ndarray, k: int = 3):
         if np.asarray(query_emb).size == 0 or self._n == 0:

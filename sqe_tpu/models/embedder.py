@@ -25,6 +25,7 @@ from sqe_tpu.config import ModelConfig
 from sqe_tpu.data.tokenizer import HashingTokenizer
 from sqe_tpu.ops.attention import multihead_attention
 from sqe_tpu.ops.distance import l2_normalize
+from sqe_tpu.utils import dispatch
 
 Params = Dict[str, Any]
 
@@ -172,7 +173,9 @@ class Embedder:
         if self.device is not None:
             ids = jax.device_put(ids, self.device)
             mask = jax.device_put(mask, self.device)
-        return self._fwd(self.params, ids, mask)
+        out = self._fwd(self.params, ids, mask)
+        dispatch.program("embed_forward")
+        return out
 
     # Sequence-length buckets: embeddings are padding-invariant (masked
     # attention + masked mean pool), so short inputs run a short program.
@@ -222,6 +225,7 @@ class Embedder:
                 # of one silent multi-minute materialization at the end.
                 np.asarray(pending[-1][0][:1])
                 log.info("embedded %d/%d batches", bi + 1, n_batches)
+        dispatch.sync("embed_materialize", len(pending))
         return np.concatenate(
             [np.asarray(emb[:n]) for emb, n in pending], axis=0
         )

@@ -45,6 +45,7 @@ from sqe_tpu.index.flat import flat_topk
 from sqe_tpu.ops.fused_scan import fused_scan_topk, pick_bn
 from sqe_tpu.index.hnsw import hnsw_search_batch
 from sqe_tpu.ops.distance import l2_normalize
+from sqe_tpu.utils import dispatch
 
 
 def _to_meta(m: Dict[str, Any] | Chunk) -> Dict[str, Any]:
@@ -326,6 +327,7 @@ class ShardedFlatIndex:
             b = np.asarray(query_emb).shape[0]
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
         q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
+        dispatch.program("query_normalize")
         with self.lock:
             k_eff = min(k, self._cap)
             if self._search_fn is None or self._search_fn[0] != (k_eff, self._cap):
@@ -334,7 +336,10 @@ class ShardedFlatIndex:
             scores, ids = self._search_fn[1](
                 q, self._vectors, self._gids, self._counts_dev
             )
-        return np.asarray(scores)[:, :k], np.asarray(ids)[:, :k]
+            dispatch.program("index_scan")
+        out = np.asarray(scores)[:, :k], np.asarray(ids)[:, :k]
+        dispatch.sync("index_scan")
+        return out
 
     def search(self, query_emb: np.ndarray, k: int = 3):
         if np.asarray(query_emb).size == 0 or self._n == 0:
@@ -664,6 +669,7 @@ class ShardedHNSWIndex:
             b = np.asarray(query_emb).shape[0]
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
         q = l2_normalize(jnp.asarray(query_emb, dtype=jnp.float32))
+        dispatch.program("query_normalize")
         with self.lock:
             ef = ef or self.cfg.ef_search
             k_eff = min(k, self._cap)
@@ -695,7 +701,10 @@ class ShardedHNSWIndex:
                 if self._nbr_scales is not None:
                     args = args + (self._nbr_scales,)
             scores, ids = self._search_fn[1](*args)
-        return np.asarray(scores)[:, :k], np.asarray(ids)[:, :k]
+            dispatch.program("index_scan")
+        out = np.asarray(scores)[:, :k], np.asarray(ids)[:, :k]
+        dispatch.sync("index_scan")
+        return out
 
     def search(self, query_emb: np.ndarray, k: int = 3):
         if np.asarray(query_emb).size == 0 or self._n == 0:

@@ -28,6 +28,25 @@ import jax.numpy as jnp
 
 from sqe_tpu.index.hnsw import hnsw_search_batch
 from sqe_tpu.models.embedder import embed_forward
+from sqe_tpu.utils import dispatch
+
+
+def _pack_outputs(emb, hit, slot, scores, out_ids) -> jax.Array:
+    """Pack the front half's five outputs into ONE f32 buffer
+    [B, D + 2 + 2k] so the host pays a single device->host transfer instead
+    of five (each blocking materialization is a ~29 ms tunnel round-trip —
+    utils/dispatch.py). Slots (< cache capacity) and row ids (< index size,
+    measured ceiling ~4M/chip) are exact in f32 below 2^24."""
+    return jnp.concatenate(
+        [
+            emb.astype(jnp.float32),
+            hit[:, None].astype(jnp.float32),
+            slot[:, None].astype(jnp.float32),
+            scores.astype(jnp.float32),
+            out_ids.astype(jnp.float32),
+        ],
+        axis=1,
+    )
 
 
 @functools.partial(
@@ -56,8 +75,8 @@ def retrieval_program(
     n_seeds: int,
     expand: int,
     fused_gather: bool,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Returns (emb [B,D], hit [B], slot [B], scores [B,k], ids [B,k])."""
+) -> jax.Array:
+    """Returns the packed [B, D+2+2k] buffer (see ``_pack_outputs``)."""
     emb = embed_forward(params, ids, mask, cfg=cfg, attn_impl=attn_impl)
 
     sims = jax.lax.dot_general(
@@ -73,7 +92,7 @@ def retrieval_program(
         k=k, ef=ef, max_iters=max_iters, n_seeds=n_seeds, expand=expand,
         fused_gather=fused_gather,
     )
-    return emb, hit, slot, scores, out_ids
+    return _pack_outputs(emb, hit, slot, scores, out_ids)
 
 
 @functools.partial(
@@ -101,8 +120,9 @@ def retrieval_program_flat(
     exact: bool,
     scan: str = "blocked",
     rerank_r: int = 0,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> jax.Array:
     """Flat-index variant: embed -> cache probe -> MXU scan.
+    Returns the packed [B, D+2+2k] buffer (see ``_pack_outputs``).
 
     ``scan`` mirrors FlatIndex.search_ids' scorer choice so the fused
     program ranks identically to the index's own search: "int8_rerank"
@@ -154,7 +174,7 @@ def retrieval_program_flat(
     else:
         scores, out_ids = flat_topk(emb, vectors, valid_n, k=k,
                                     block_n=block_n, exact=exact)
-    return emb, hit, slot, scores, out_ids
+    return _pack_outputs(emb, hit, slot, scores, out_ids)
 
 
 class FusedFrontend:
@@ -212,7 +232,7 @@ class FusedFrontend:
                 k_eff = min(k, n)
                 # The index's own scorer choice — one source of truth.
                 scan, block = idx.scan_plan(k_eff)
-                emb, hit, slot, scores, out_ids = retrieval_program_flat(
+                packed = retrieval_program_flat(
                     self.embedder.params, ids, mask,
                     keys, valid, threshold,
                     idx._vectors, idx._scales, jnp.int32(n),
@@ -238,7 +258,8 @@ class FusedFrontend:
                 expand, fused_gather = plan_fused_gather(
                     ids.shape[0], m0, d, idx._nbr_vecs.dtype.itemsize, expand
                 )
-            emb, hit, slot, scores, out_ids = retrieval_program(
+            k_eff = min(k, n)
+            packed = retrieval_program(
                 self.embedder.params, ids, mask,
                 keys, valid, threshold,
                 idx._vectors, idx._graph, idx._pivots,
@@ -246,18 +267,24 @@ class FusedFrontend:
                 idx._nbr_scales if fused_gather else None,
                 cfg=self.embedder.cfg,
                 attn_impl=self.embedder.attn_impl,
-                k=min(k, n),
+                k=k_eff,
                 ef=ef,
                 max_iters=ef // expand + 32,
                 n_seeds=min(32, ef, n),
                 expand=expand,
                 fused_gather=fused_gather,
             )
-        emb_np = np.asarray(emb)[:n_real]
-        cached = self.cache.resolve_external_probe(
-            np.asarray(hit)[:n_real], np.asarray(slot)[:n_real]
-        )
-        scores_np, ids_np = np.asarray(scores), np.asarray(out_ids)
+        dispatch.program("fused_front")
+        # ONE blocking materialization for the whole front half.
+        packed_np = np.asarray(packed)
+        dispatch.sync("fused_front")
+        d = self.embedder.cfg.embed_dim
+        emb_np = packed_np[:n_real, :d]
+        hit_np = packed_np[:n_real, d] > 0.5
+        slot_np = packed_np[:n_real, d + 1].astype(np.int32)
+        cached = self.cache.resolve_external_probe(hit_np, slot_np)
+        scores_np = packed_np[:, d + 2 : d + 2 + k_eff]
+        ids_np = packed_np[:, d + 2 + k_eff :].astype(np.int32)
         results = []
         for row in range(n_real):
             if cached[row] is not None:
