@@ -1,0 +1,207 @@
+"""Decoder LM quality bar (VERDICT r02 #4): perplexity + grounded answers.
+
+The round-2 evidence for the on-TPU generation backend was a loss curve
+only. This script gives it a measurable quality bar:
+
+1. **Perplexity** on a deterministic eval slice of corpus chunks
+   (``idx % 50 == 0``). If the deployed checkpoint's ``lm_fit.json``
+   records that this slice was held out of training (round-3 fit-lm does;
+   the round-2 checkpoint trained on everything), the number is honest
+   held-out perplexity and ``held_out`` is true; otherwise it is
+   train-distribution perplexity and labeled as such.
+
+2. **Grounded-answer sampling with mechanical citation checks.** N
+   question-style queries (train/eval.py question templates) are paired
+   with their source chunk plus one distractor rendered exactly as the
+   serve path renders context (serving/prompts.py), and the decoder
+   generates an answer under the reference's 6-rule system message
+   (app/main.py:519-528). Each answer is checked mechanically:
+
+   - ``cites``        — contains 'Document <id>' (rule 1/2)
+   - ``cites_valid``  — every cited id is one of the context's doc ids
+                        (rule 4: never cite outside the provided context)
+   - ``cites_clean``  — no '.txt' extension in citations (rule 1)
+   - ``ends_with_ref``— a citation appears in the final sentence (rule 2)
+
+   Sampled answers are recorded verbatim so the claim is auditable.
+
+Counts are platform-independent; run on CPU to stay off the device claim:
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python scripts/lm_eval.py \
+      [--checkpoint_dir=ckpt_trained] [--corpus_dir=/root/reference/PMC] \
+      [--n_ppl_batches=24] [--n_samples=12] \
+      [--out=<checkpoint_dir>/lm/lm_eval.json]
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+EVAL_SLICE_MOD = 50  # chunk idx % 50 == 0 -> eval slice (must match fit-lm)
+
+
+def load_lm(checkpoint_dir: str):
+    from sqe_tpu.data.tokenizer import tokenizer_from_dict
+    from sqe_tpu.models.decoder import DecoderConfig, decoder_params_from_leaves
+    from sqe_tpu.utils import checkpoint as ckpt
+
+    lm_dir = os.path.join(checkpoint_dir, "lm")
+    state = ckpt.load_model(lm_dir)
+    assert state is not None, f"no LM checkpoint under {lm_dir}"
+    cfg = DecoderConfig(**state["model_cfg"])
+    params = decoder_params_from_leaves(cfg, state["leaves"])
+    tokenizer = tokenizer_from_dict(
+        state["tokenizer_state"], cfg.vocab_size, cfg.max_len
+    )
+    fit_meta = {}
+    fit_path = os.path.join(lm_dir, "lm_fit.json")
+    if os.path.exists(fit_path):
+        with open(fit_path) as f:
+            fit_meta = json.load(f)
+    return params, cfg, tokenizer, fit_meta
+
+
+def perplexity(params, cfg, tokenizer, chunks, n_batches: int) -> dict:
+    import jax.numpy as jnp
+
+    from sqe_tpu.train.lm import lm_batches, lm_loss
+
+    eval_chunks = [c for i, c in enumerate(chunks) if i % EVAL_SLICE_MOD == 0]
+    ces = []
+    for bi, batch in enumerate(
+        lm_batches(eval_chunks, tokenizer, batch_size=16, seq_len=256,
+                   seed=123, epochs=max(1, n_batches))
+    ):
+        if bi >= n_batches:
+            break
+        ces.append(float(lm_loss(params, jnp.asarray(batch), cfg=cfg)))
+    ce = float(np.mean(ces))
+    return {
+        "eval_slice": f"idx %% {EVAL_SLICE_MOD} == 0",
+        "n_eval_chunks": len(eval_chunks),
+        "n_batches": len(ces),
+        "cross_entropy": round(ce, 4),
+        "perplexity": round(float(np.exp(ce)), 2),
+    }
+
+
+_CITE_RE = re.compile(r"[Dd]ocument[:\s]+([A-Za-z0-9_\-\.]+)")
+
+
+def check_answer(answer: str, context_ids: list) -> dict:
+    cited = [m.rstrip(".,;:") for m in _CITE_RE.findall(answer)]
+    ctx = set(context_ids)
+    sentences = [s for s in re.split(r"(?<=[.!?])\s+", answer.strip()) if s]
+    last = sentences[-1] if sentences else ""
+    return {
+        "cites": bool(cited),
+        "cites_valid": bool(cited) and all(c in ctx for c in cited),
+        "cites_clean": bool(cited) and not any(c.endswith(".txt") for c in cited),
+        "ends_with_ref": bool(_CITE_RE.search(last)),
+        "cited_ids": cited,
+    }
+
+
+async def grounded_samples(params, cfg, tokenizer, chunks, n_samples: int) -> dict:
+    from collections import Counter
+
+    from sqe_tpu.serving.generation import TPUDecoderBackend
+    from sqe_tpu.serving.prompts import (
+        SYSTEM_MESSAGE,
+        build_prompt,
+        render_context,
+    )
+    from sqe_tpu.train.eval import _fold_word, make_question
+
+    backend = TPUDecoderBackend(params, cfg, tokenizer, seed=11)
+    rng = np.random.default_rng(2024)
+    doc_freq: Counter = Counter()
+    for c in chunks:
+        doc_freq.update({_fold_word(w) for w in c.text.split()})
+
+    order = rng.permutation(len(chunks))
+    samples, agg = [], Counter()
+    for r in order:
+        if len(samples) >= n_samples:
+            break
+        src = chunks[int(r)]
+        q = make_question(src.text, rng, doc_freq)
+        if q is None:
+            continue
+        distractor = chunks[int(order[(len(samples) * 7 + 13) % len(order)])]
+        ctx_map = {}
+        for c in (src, distractor):
+            did = c.doc_id.replace(".txt", "")
+            ctx_map[did] = (ctx_map.get(did, "") + "\n" + c.text).strip()
+        prompt = build_prompt(q, render_context(ctx_map))
+        answer = await backend.generate(prompt, SYSTEM_MESSAGE) or ""
+        checks = check_answer(answer, list(ctx_map))
+        agg.update({k: int(v) for k, v in checks.items()
+                    if isinstance(v, bool) and v})
+        agg["answered"] += int(bool(answer.strip()))
+        samples.append({
+            "question": q,
+            "context_ids": list(ctx_map),
+            "answer": answer,
+            **{k: v for k, v in checks.items() if k != "cited_ids"},
+            "cited_ids": checks["cited_ids"],
+        })
+    n = max(1, len(samples))
+    return {
+        "n_samples": len(samples),
+        "rates": {k: round(agg.get(k, 0) / n, 3)
+                  for k in ("answered", "cites", "cites_valid",
+                            "cites_clean", "ends_with_ref")},
+        "samples": samples,
+    }
+
+
+async def main() -> None:
+    checkpoint_dir, corpus_dir = "ckpt_trained", "/root/reference/PMC"
+    n_ppl_batches, n_samples, out = 24, 12, None
+    for a in sys.argv[1:]:
+        k, _, v = a.lstrip("-").partition("=")
+        if k == "checkpoint_dir":
+            checkpoint_dir = v
+        elif k == "corpus_dir":
+            corpus_dir = v
+        elif k == "n_ppl_batches":
+            n_ppl_batches = int(v)
+        elif k == "n_samples":
+            n_samples = int(v)
+        elif k == "out":
+            out = v
+    out = out or os.path.join(checkpoint_dir, "lm", "lm_eval.json")
+
+    from sqe_tpu.data.corpus import load_corpus
+
+    params, cfg, tokenizer, fit_meta = load_lm(checkpoint_dir)
+    chunks = load_corpus(corpus_dir, 512)
+    assert chunks, f"no corpus under {corpus_dir}"
+
+    ppl = perplexity(params, cfg, tokenizer, chunks, n_ppl_batches)
+    ppl["held_out"] = bool(fit_meta.get("holdout_slice"))
+    gen = await grounded_samples(params, cfg, tokenizer, chunks, n_samples)
+
+    result = {
+        "checkpoint": os.path.join(checkpoint_dir, "lm"),
+        "fit_steps": fit_meta.get("steps"),
+        "perplexity": ppl,
+        "grounded_generation": gen,
+    }
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    slim = {**result,
+            "grounded_generation": {**gen, "samples": f"{len(gen['samples'])} recorded in {out}"}}
+    print(json.dumps(slim, indent=2))
+
+
+if __name__ == "__main__":
+    asyncio.run(main())

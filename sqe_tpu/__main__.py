@@ -100,7 +100,12 @@ def _fit_lm(argv: list) -> None:
 
     flags = {"lm_steps": 3000, "lm_lr": 3e-4, "lm_batch": 32,
              "lm_seq_len": 256, "lm_d_model": 384, "lm_layers": 4,
-             "lm_heads": 6, "lm_d_ff": 1536}
+             "lm_heads": 6, "lm_d_ff": 1536,
+             # Grounded-answer instruction phase (train/lm_sft.py): teaches
+             # the serve-time contract (extract + cite 'Document <id>',
+             # refuse without context). 0 disables.
+             "lm_sft_steps": 2000, "lm_sft_lr": 1e-4, "lm_sft_batch": 16,
+             "lm_sft_seq": 512}
     remaining = []
     for arg in argv:
         key, _, raw = arg.lstrip("-").partition("=")
@@ -113,7 +118,12 @@ def _fit_lm(argv: list) -> None:
 
     chunks = load_corpus(cfg.corpus_dir, cfg.chunk_size)
     assert chunks, f"no corpus text under {cfg.corpus_dir}"
-    print(f"corpus: {len(chunks)} chunks from {cfg.corpus_dir}")
+    # Hold out a deterministic 2% slice so scripts/lm_eval.py reports honest
+    # held-out perplexity (round-2 trained on everything — VERDICT r02 #4).
+    holdout_slice = "idx % 50 == 0"
+    train_chunks = [c for i, c in enumerate(chunks) if i % 50 != 0]
+    print(f"corpus: {len(chunks)} chunks from {cfg.corpus_dir} "
+          f"({len(chunks) - len(train_chunks)} held out: {holdout_slice})")
 
     # Share the embedder's learned vocabulary when one is checkpointed so the
     # whole stack tokenizes identically.
@@ -136,18 +146,32 @@ def _fit_lm(argv: list) -> None:
         max_len=max(flags["lm_seq_len"] * 4, 1024),
     )
     params, losses = fit_lm(
-        chunks, dcfg, tokenizer, steps=flags["lm_steps"],
+        train_chunks, dcfg, tokenizer, steps=flags["lm_steps"],
         batch_size=flags["lm_batch"], seq_len=flags["lm_seq_len"],
         lr=flags["lm_lr"],
     )
     print(f"lm fit: {len(losses)} steps, loss {losses[0]:.3f} -> {losses[-1]:.3f}")
+    sft_losses = []
+    if flags["lm_sft_steps"] > 0:
+        from sqe_tpu.train.lm_sft import fit_lm_sft
+
+        params, sft_losses = fit_lm_sft(
+            params, train_chunks, dcfg, tokenizer,
+            steps=flags["lm_sft_steps"], batch_size=flags["lm_sft_batch"],
+            seq_len=flags["lm_sft_seq"], lr=flags["lm_sft_lr"],
+        )
+        print(f"lm sft: {len(sft_losses)} steps, "
+              f"loss {sft_losses[0]:.3f} -> {sft_losses[-1]:.3f}")
     lm_dir = os.path.join(cfg.checkpoint_dir, "lm")
     ckpt.save_model(lm_dir, params, dcfg.to_dict(),
                     tokenizer_state=tokenizer_to_dict(tokenizer))
     print(f"lm saved to {lm_dir}")
     with open(os.path.join(lm_dir, "lm_fit.json"), "w") as f:
         json.dump({"losses_head": losses[:3], "losses_tail": losses[-3:],
-                   "steps": len(losses)}, f)
+                   "steps": len(losses), "holdout_slice": holdout_slice,
+                   "sft_steps": len(sft_losses),
+                   "sft_losses_head": sft_losses[:3],
+                   "sft_losses_tail": sft_losses[-3:]}, f)
 
 
 def _fit(argv: list) -> None:

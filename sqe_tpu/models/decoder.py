@@ -70,6 +70,21 @@ class DecoderConfig:
                  "max_len", "dtype", "param_dtype", "seed")}
 
 
+def head_tail_truncate(toks: list, budget: int) -> list:
+    """Fit a prompt into ``budget`` tokens by dropping the MIDDLE.
+
+    The serve prompt is ``User Query -> Context -> End-of-context +
+    instruction`` (serving/prompts.py, mirroring app/main.py:529-535), so
+    an overlong prompt must keep its head (the query) and its tail (the
+    instruction + most-recent context) — a keep-tail truncation silently
+    drops the user's question whenever the context overflows. Used by both
+    the decode loop and SFT data building so train matches serve."""
+    if len(toks) <= budget:
+        return list(toks)
+    head = budget // 2
+    return list(toks[:head]) + list(toks[-(budget - head):])
+
+
 def init_decoder_params(cfg: DecoderConfig,
                         key: Optional[jax.Array] = None) -> Params:
     if key is None:

@@ -240,6 +240,7 @@ class TPUDecoderBackend:
         from sqe_tpu.data.tokenizer import PAD_ID
         from sqe_tpu.models.decoder import (
             decode_step,
+            head_tail_truncate,
             init_kv_cache,
             prefill,
             sample_token,
@@ -247,7 +248,8 @@ class TPUDecoderBackend:
 
         toks = self.tokenizer.tokenize(prompt)
         budget = self.cfg.max_len - self.max_new_tokens - 1
-        toks = toks[-budget:]                      # keep the prompt tail
+        # Keep the query (head) AND the instruction tail; drop middle context.
+        toks = head_tail_truncate(toks, budget)
         length = len(toks)
         ids = np.zeros((1, budget), np.int32)
         ids[0, :length] = toks

@@ -21,7 +21,7 @@ Both are reported by the ``fit`` CLI and gated in tests/test_fit.py.
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -137,16 +137,28 @@ def make_question(chunk_text: str, rng: np.random.Generator,
     passage region), are sampled from the sentence's rarest content words,
     and are SHUFFLED before templating — the query shares vocabulary with
     its source the way a real question does, but no contiguous n-gram."""
+    q, _sent = make_question_with_source(chunk_text, rng, doc_freq, n_terms)
+    return q
+
+
+def make_question_with_source(
+    chunk_text: str, rng: np.random.Generator,
+    doc_freq: Counter, n_terms: int = 4,
+) -> Tuple[Optional[str], str]:
+    """Like make_question, but also returns the source sentence the terms
+    came from — the grounded-answer target for LM instruction tuning
+    (train/lm_sft.py)."""
     sentences = [s.split() for s in chunk_text.replace("\n", " ").split(".")]
     sentences = [s for s in sentences if len(s) >= 8]
     if not sentences:
         sentences = [chunk_text.split()]
     sent = sentences[int(rng.integers(0, len(sentences)))]
+    sent_text = " ".join(sent).strip()
     terms = _informative_terms(sent, doc_freq)
     if len(terms) < 2:
         terms = _informative_terms(chunk_text.split(), doc_freq)
     if not terms:
-        return None
+        return None, sent_text
     pool = terms[: max(n_terms * 3, 8)]
     take = min(len(pool), int(rng.integers(3, n_terms + 2)))
     # Real questions anchor on the passage's distinctive subject: the rarest
@@ -159,7 +171,7 @@ def make_question(chunk_text: str, rng: np.random.Generator,
     joined = (", ".join(chosen[:-1]) + " and " + chosen[-1]
               if len(chosen) > 1 else chosen[0])
     template = _TEMPLATES[int(rng.integers(0, len(_TEMPLATES)))]
-    return template.format(joined)
+    return template.format(joined), sent_text
 
 
 def question_eval(

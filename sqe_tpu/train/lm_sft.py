@@ -1,0 +1,207 @@
+"""Grounded-answer instruction tuning for the on-TPU generation LM.
+
+The base corpus LM (train/lm.py) models PMC text; nothing in that
+objective teaches it the serve-time contract — answer the question from
+the rendered context and cite ``Document <id>`` (the reference's 6-rule
+system message, app/main.py:519-528). Round 2's decoder therefore produced
+corpus-flavored text with zero citations (VERDICT r02 #4). This phase
+fine-tunes on synthesized (prompt -> grounded answer) sequences built from
+the corpus itself:
+
+- **Grounded example**: a templated question over one sentence's
+  informative terms (train/eval.py — the same generator the retrieval
+  eval uses), context = the source chunk plus one distractor chunk
+  rendered EXACTLY as serve renders it (serving/prompts.py), target =
+  the source sentence + `` Document <id>.`` — extractive answering with
+  a citation, which is what rules 1/2/4 demand.
+- **Refusal example** (``refusal_frac`` of the stream): the context
+  contains ONLY distractor chunks, target = the rule-3 string
+  ``I lack the context to answer your question.``
+
+Loss is masked to the answer tokens plus one EOS (PAD) position — the
+prompt is conditioning, not a target — so the LM's corpus knowledge from
+the base phase is preserved while the output format is learned. Prompts
+that overflow the window are middle-truncated (models/decoder.py
+head_tail_truncate), matching the decode loop, so train sees the same
+distribution serve produces.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from collections import Counter
+from typing import Iterator, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sqe_tpu.data.corpus import Chunk
+from sqe_tpu.data.tokenizer import PAD_ID
+from sqe_tpu.models.decoder import (
+    DecoderConfig,
+    decoder_forward,
+    head_tail_truncate,
+)
+from sqe_tpu.utils.logging import get_logger
+
+log = get_logger("train.lm_sft")
+
+REFUSAL = "I lack the context to answer your question."
+
+
+def _doc_ref(doc_id: str) -> str:
+    # Rule 1: cite without the file extension.
+    return doc_id[:-4] if doc_id.endswith(".txt") else doc_id
+
+
+def build_example(
+    src: Chunk,
+    distractors: Sequence[Chunk],
+    rng: np.random.Generator,
+    doc_freq: Counter,
+    tokenizer,
+    seq_len: int,
+    refusal: bool = False,
+) -> Tuple[np.ndarray, np.ndarray] | None:
+    """Returns (ids [seq_len+1], weights [seq_len]) or None.
+
+    ``weights[t]`` applies to predicting ``ids[t+1]``: 1.0 on answer tokens
+    and the first EOS(PAD) after them, 0.0 on prompt/conditioning tokens.
+    """
+    from sqe_tpu.serving.prompts import (
+        SYSTEM_MESSAGE,
+        build_prompt,
+        render_context,
+    )
+    from sqe_tpu.train.eval import make_question_with_source
+
+    q, sent = make_question_with_source(src.text, rng, doc_freq)
+    if q is None:
+        return None
+    ctx_map = {}
+    if not refusal:
+        ctx_map[_doc_ref(src.doc_id)] = src.text
+    for d in distractors:
+        ref = _doc_ref(d.doc_id)
+        if ref not in ctx_map:
+            ctx_map[ref] = d.text
+    if refusal:
+        answer = REFUSAL
+    else:
+        answer = f"{sent}. Document {_doc_ref(src.doc_id)}."
+    prompt = SYSTEM_MESSAGE + "\n" + build_prompt(q, render_context(ctx_map))
+
+    a_toks = tokenizer.tokenize(answer)
+    if not a_toks:
+        return None
+    # Reserve answer + 1 EOS slot; give the rest to the prompt.
+    p_budget = seq_len - len(a_toks) - 1
+    if p_budget < 16:
+        return None
+    p_toks = head_tail_truncate(tokenizer.tokenize(prompt), p_budget)
+
+    ids = np.zeros(seq_len + 1, np.int32)
+    seq = list(p_toks) + list(a_toks)       # remaining tail stays PAD (EOS)
+    ids[: len(seq)] = seq
+    weights = np.zeros(seq_len, np.float32)
+    # Predicting position t+1 from t: answer starts at index len(p_toks).
+    a_start, a_end = len(p_toks), len(p_toks) + len(a_toks)
+    weights[a_start - 1 : a_end] = 1.0      # answer tokens + first EOS(PAD)
+    return ids, weights
+
+
+def sft_batches(
+    chunks: Sequence[Chunk],
+    tokenizer,
+    batch_size: int = 16,
+    seq_len: int = 512,
+    seed: int = 0,
+    refusal_frac: float = 0.15,
+    n_distractors: int = 1,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Endless stream of ([B, seq_len+1] ids, [B, seq_len] weights)."""
+    rng = np.random.default_rng(seed)
+    doc_freq: Counter = Counter()
+    from sqe_tpu.train.eval import _fold_word
+
+    for c in chunks:
+        doc_freq.update({_fold_word(w) for w in c.text.split()})
+
+    ids_rows, w_rows = [], []
+    while True:
+        order = rng.permutation(len(chunks))
+        for r in order:
+            src = chunks[int(r)]
+            d_idx = rng.choice(len(chunks), size=n_distractors, replace=False)
+            distractors = [chunks[int(i)] for i in d_idx
+                           if chunks[int(i)].doc_id != src.doc_id]
+            refusal = bool(rng.random() < refusal_frac)
+            ex = build_example(src, distractors, rng, doc_freq, tokenizer,
+                               seq_len, refusal=refusal)
+            if ex is None:
+                continue
+            ids_rows.append(ex[0])
+            w_rows.append(ex[1])
+            if len(ids_rows) == batch_size:
+                yield np.stack(ids_rows), np.stack(w_rows)
+                ids_rows, w_rows = [], []
+
+
+def sft_loss(params, ids: jax.Array, weights: jax.Array,
+             *, cfg: DecoderConfig) -> jax.Array:
+    """Next-token CE masked to the answer span (weights)."""
+    inputs, targets = ids[:, :-1], ids[:, 1:]
+    logits = decoder_forward(params, inputs, cfg=cfg)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+    return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
+def fit_lm_sft(
+    params,
+    chunks: Sequence[Chunk],
+    cfg: DecoderConfig,
+    tokenizer,
+    *,
+    steps: int = 2000,
+    batch_size: int = 16,
+    seq_len: int = 512,
+    lr: float = 1e-4,
+    seed: int = 0,
+    refusal_frac: float = 0.15,
+    log_every: int = 100,
+) -> Tuple[dict, List[float]]:
+    """Fine-tune ``params`` (the base LM) on grounded-answer examples."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.warmup_cosine_decay_schedule(
+            0.0, lr, max(1, steps // 20), steps, lr * 0.05)),
+    )
+    opt_state = tx.init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, ids, weights):
+        loss, grads = jax.value_and_grad(
+            functools.partial(sft_loss, cfg=cfg))(params, ids, weights)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    device_losses: List[jax.Array] = []
+    t0 = time.perf_counter()
+    batches = sft_batches(chunks, tokenizer, batch_size=batch_size,
+                          seq_len=seq_len, seed=seed,
+                          refusal_frac=refusal_frac)
+    for i, (ids, weights) in enumerate(batches):
+        if i >= steps:
+            break
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(ids), jnp.asarray(weights))
+        device_losses.append(loss)   # device handle only (see train/fit.py)
+        if (i + 1) % log_every == 0 or i == 0:
+            log.info("sft step %d/%d loss %.4f (%.1fs)", i + 1, steps,
+                     float(device_losses[-1]), time.perf_counter() - t0)
+    from sqe_tpu.train.fit import _drain_losses
+
+    return params, _drain_losses(device_losses)

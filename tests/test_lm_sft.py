@@ -1,0 +1,127 @@
+"""Grounded-answer instruction tuning: data format, masking, truncation.
+
+The serve-time contract being trained is the reference's 6-rule system
+message (app/main.py:519-528): extract from the provided context, cite
+'Document <id>' without extensions, refuse when the context is unrelated.
+"""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from sqe_tpu.data.corpus import Chunk
+from sqe_tpu.data.tokenizer import PAD_ID, VocabTokenizer
+from sqe_tpu.models.decoder import DecoderConfig, head_tail_truncate
+from sqe_tpu.train.eval import _fold_word, make_question_with_source
+from sqe_tpu.train.lm_sft import (
+    REFUSAL,
+    build_example,
+    fit_lm_sft,
+    sft_batches,
+    sft_loss,
+)
+
+
+def _corpus():
+    rng = np.random.default_rng(3)
+    words = [f"zq{i}" for i in range(200)]
+    chunks = []
+    for d in range(8):
+        sents = []
+        for s in range(5):
+            picks = rng.choice(200, size=10, replace=False)
+            sents.append(" ".join(words[p] for p in picks))
+        chunks.append(Chunk(f"PMC{d}.txt", 0, ". ".join(sents) + "."))
+    return chunks
+
+
+@pytest.fixture(scope="module")
+def setup():
+    chunks = _corpus()
+    # Include the contract strings so the tiny vocab covers them (the real
+    # vocab is trained on PMC English and covers them naturally).
+    extra = [REFUSAL, "Document PMC0 PMC1 PMC2 PMC3 PMC4 PMC5 PMC6 PMC7"]
+    tok = VocabTokenizer.train([c.text for c in chunks] + extra, 4096, 512)
+    doc_freq = Counter()
+    for c in chunks:
+        doc_freq.update({_fold_word(w) for w in c.text.split()})
+    return chunks, tok, doc_freq
+
+
+def test_head_tail_truncate_keeps_query_and_instruction():
+    toks = list(range(100))
+    out = head_tail_truncate(toks, 20)
+    assert len(out) == 20
+    assert out[:10] == list(range(10))          # head (the user query)
+    assert out[-10:] == list(range(90, 100))    # tail (the instruction)
+    assert head_tail_truncate(toks, 200) == toks
+
+
+def test_grounded_example_masks_prompt_targets_answer(setup):
+    chunks, tok, doc_freq = setup
+    rng = np.random.default_rng(0)
+    ex = build_example(chunks[0], [chunks[1]], rng, doc_freq, tok,
+                       seq_len=256)
+    assert ex is not None
+    ids, weights = ex
+    assert ids.shape == (257,) and weights.shape == (256,)
+    # The supervised span decodes to the answer: source sentence + citation.
+    sup = [int(ids[t + 1]) for t in range(256) if weights[t] > 0]
+    inv = {v: k for k, v in tok.vocab.items()}
+    answer_words = [inv.get(t, "?") for t in sup if t != PAD_ID]
+    assert "document" in answer_words           # the citation token
+    assert "pmc0" in " ".join(answer_words)     # cites the SOURCE doc, no .txt
+    assert ".txt" not in " ".join(answer_words)
+    # Exactly one EOS position is supervised (the first PAD after answer).
+    assert sup.count(PAD_ID) == 1
+    # Prompt positions carry zero weight: the first supervised index is far
+    # past the start.
+    first = int(np.argmax(weights > 0))
+    assert first > 32
+
+
+def test_refusal_example_targets_rule3_string(setup):
+    chunks, tok, doc_freq = setup
+    rng = np.random.default_rng(1)
+    ex = build_example(chunks[0], [chunks[1]], rng, doc_freq, tok,
+                       seq_len=256, refusal=True)
+    ids, weights = ex
+    sup = [int(ids[t + 1]) for t in range(256) if weights[t] > 0]
+    inv = {v: k for k, v in tok.vocab.items()}
+    got = " ".join(inv.get(t, "?") for t in sup if t != PAD_ID)
+    from sqe_tpu.data.tokenizer import _words
+
+    # Tokenizer-folded equality: the supervised span IS the refusal string.
+    assert got == " ".join(_words(REFUSAL))
+
+
+def test_sft_batches_shapes_and_mix(setup):
+    chunks, tok, _ = setup
+    it = sft_batches(chunks, tok, batch_size=8, seq_len=256, seed=0,
+                     refusal_frac=0.5)
+    ids, weights = next(it)
+    assert ids.shape == (8, 257) and weights.shape == (8, 256)
+    assert (weights.sum(axis=1) > 0).all()
+
+
+def test_sft_loss_decreases_on_tiny_fit(setup):
+    chunks, tok, _ = setup
+    cfg = DecoderConfig(vocab_size=tok.vocab_size, d_model=64, n_layers=1,
+                        n_heads=2, d_ff=128, max_len=256)
+    from sqe_tpu.models.decoder import init_decoder_params
+
+    params = init_decoder_params(cfg)
+    params, losses = fit_lm_sft(params, chunks, cfg, tok, steps=30,
+                                batch_size=4, seq_len=128, lr=3e-3,
+                                log_every=1000)
+    assert len(losses) == 30
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_question_with_source_returns_sentence(setup):
+    chunks, _, doc_freq = setup
+    rng = np.random.default_rng(5)
+    q, sent = make_question_with_source(chunks[0].text, rng, doc_freq)
+    assert q is not None
+    assert sent and sent in chunks[0].text.replace("\n", " ")
