@@ -42,7 +42,34 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def gen_device_bf16(key, n, d, n_centers=1024, spread=0.25, block=131072):
+GEN_BLOCK = 131072
+
+
+def _block_fn(key, d, n_centers=1024, spread=0.25, block=GEN_BLOCK):
+    """Jitted deterministic per-block generator: ``f(i) -> [block, d] bf16``.
+    Exposing the block lets the rerank phase REGENERATE the base for recall
+    scoring after deleting it — at 4M the bf16 base cannot coexist with the
+    2-byte/dim rerank layout on one chip's HBM."""
+    import jax
+    import jax.numpy as jnp
+
+    kc, ka = jax.random.split(key)
+
+    @jax.jit
+    def blk(i):
+        centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+        k1, k2 = jax.random.split(jax.random.fold_in(ka, i))
+        a = jax.random.randint(k1, (block,), 0, n_centers)
+        v = centers[a] + spread * jax.random.normal(
+            k2, (block, d), jnp.float32
+        )
+        v = v / (jnp.linalg.norm(v, axis=1, keepdims=True) + 1e-9)
+        return v.astype(jnp.bfloat16)
+
+    return blk
+
+
+def gen_device_bf16(key, n, d, n_centers=1024, spread=0.25, block=GEN_BLOCK):
     """Clustered normalized corpus generated blockwise straight to bf16
     (peak extra memory: one f32 block, not the corpus)."""
     import jax
@@ -199,8 +226,76 @@ def run_scale(n, d=1024, with_ivf=True):
     rows["recall"] = round(eps_recall(ref_s, got), 4)
     out["fused_int8"] = rows
     log(f"fused_int8: {json.dumps(rows)}")
+
+    # int8 + exact residual rerank (VERDICT r02 #2): the recall-restoring
+    # serving path. 2 bytes/dim total — bf16 memory parity — so the bf16
+    # base is DELETED before the residual plane materializes (production
+    # does not hold both; at 4M they cannot coexist in HBM anyway) and
+    # regenerated blockwise for recall scoring.
+    from sqe_tpu.index.flat import int8_scan_rerank_topk
+
+    t0 = time.perf_counter()
+    blk_fn = _block_fn(jax.random.PRNGKey(11), d)
+
+    @jax.jit
+    def resid_chunk(v, p, ps):
+        err = v.astype(jnp.float32) - p.astype(jnp.float32) * ps
+        return quantize_rows(err)
+
+    r_i8 = jnp.zeros((n, d), jnp.int8)
+    r_s = jnp.zeros((n, 1), jnp.float32)
+    vecs.delete()
+    assert chunk == GEN_BLOCK
+    for bi, c0 in enumerate(range(0, n, chunk)):
+        rv, rs = resid_chunk(blk_fn(jnp.int32(bi)),
+                             v_i8[c0:c0 + chunk], v_s[c0:c0 + chunk])
+        r_i8 = fill(r_i8, rv, jnp.int32(c0))
+        r_s = fill(r_s, rs, jnp.int32(c0))
+    np.asarray(r_s[0])
+    log(f"residual quantize (base deleted): {time.perf_counter()-t0:.1f}s")
+
+    R = 128  # FlatIndex rerank_depth default
+    rows = {"rerank_depth": R}
+    for b in BATCHES:
+        q = queries[:b]
+        e2e, devt = time_search(
+            lambda q=q: int8_scan_rerank_topk(
+                q, v_i8, v_s, r_i8, r_s, jnp.int32(n), k=K, r=R, bn=bn)
+        )
+        rows[b] = {"e2e_ms": round(e2e * 1e3, 2),
+                   "dev_ms": round(devt * 1e3, 2), "qps": round(b / devt)}
+    _, i = int8_scan_rerank_topk(gate_q, v_i8, v_s, r_i8, r_s,
+                                 jnp.int32(n), k=K, r=R, bn=bn)
+    ids_np = np.asarray(i)
+
+    # Blockwise exact scoring against the regenerated base.
+    @jax.jit
+    def score_block(v_blk, q, ids, c0):
+        local = ids - c0
+        inside = (local >= 0) & (local < v_blk.shape[0])
+        cand = v_blk[jnp.clip(local, 0, v_blk.shape[0] - 1)].astype(jnp.float32)
+        s = jnp.einsum("bd,bkd->bk", q.astype(jnp.float32), cand,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.where(inside & (ids >= 0), s, -jnp.inf)
+
+    got = np.full(ids_np.shape, -np.inf, np.float32)
+    for bi, c0 in enumerate(range(0, n, chunk)):
+        s = np.asarray(score_block(blk_fn(jnp.int32(bi)), gate_q,
+                                   jnp.asarray(ids_np), jnp.int32(c0)))
+        got = np.maximum(got, s)
+    rows["recall"] = round(eps_recall(ref_s, got), 4)
+    out["int8_rerank"] = rows
+    log(f"int8_rerank: {json.dumps(rows)}")
+
+    r_i8.delete()
+    r_s.delete()
     v_i8.delete()
     v_s.delete()
+    # Regenerate the base for the phases below (IVF).
+    if with_ivf:
+        vecs = gen_device_bf16(jax.random.PRNGKey(11), n, d)
+        np.asarray(vecs[0, 0])
 
     if with_ivf:
         idx = IVFIndex(embed_dim=d, vector_dtype=jnp.bfloat16,
