@@ -126,6 +126,21 @@ async def run(n_chunks, n_requests, concurrency, batching):
         "tunnel_dispatch_overhead_ms": dispatch_ms,
     }
 
+    from sqe_tpu.utils import dispatch
+
+    def dispatch_summary(delta, n_req, p50_ms):
+        """Per-request device round-trips + the hardware-honest latency:
+        p50 minus the measured tunnel floor per dispatch (VERDICT r02 #3 —
+        on non-tunneled hardware those round-trips are ~0.1 ms each)."""
+        per_req = delta["program_total"] / max(1, n_req)
+        return {
+            "programs_per_request": round(per_req, 2),
+            "syncs_per_request": round(delta["sync_total"] / max(1, n_req), 2),
+            "programs_by_site": delta["programs"],
+            "p50_minus_tunnel_floor_ms": round(
+                p50_ms - per_req * dispatch_ms, 1),
+        }
+
     async with httpx.AsyncClient() as client:
         warm = []
         await one(client, 0, warm)   # compile warmup
@@ -133,20 +148,28 @@ async def run(n_chunks, n_requests, concurrency, batching):
         # Phase 1: sequential B=1 — interactive latency.
         seq_lat = []
         n_seq = min(64, n_requests)
+        before = dispatch.snapshot()
         for i in range(n_seq):
             await one(client, 1000 + i, seq_lat)
+        seq_delta = dispatch.delta(before, dispatch.snapshot())
         results["sequential_b1"] = pctiles(seq_lat)
+        results["sequential_b1"]["dispatches"] = dispatch_summary(
+            seq_delta, n_seq, results["sequential_b1"]["p50_ms"])
 
         # Phase 2: concurrent mixed load (some repeats -> cache-hit path).
         conc_lat = []
+        before = dispatch.snapshot()
         t0 = time.perf_counter()
         await asyncio.gather(*(one(client, i, conc_lat)
                                for i in range(n_requests)))
         wall = time.perf_counter() - t0
+        conc_delta = dispatch.delta(before, dispatch.snapshot())
         results["concurrent"] = {
             **pctiles(conc_lat),
             "req_per_s": round(n_requests / wall, 1),
         }
+        results["concurrent"]["dispatches"] = dispatch_summary(
+            conc_delta, n_requests, results["concurrent"]["p50_ms"])
 
     await server.stop()
     stats = engine.stats()
