@@ -118,13 +118,11 @@ async def grounded_samples(params, cfg, tokenizer, chunks, n_samples: int) -> di
         build_prompt,
         render_context,
     )
-    from sqe_tpu.train.eval import _fold_word, make_question
+    from sqe_tpu.train.eval import build_doc_freq, make_question
 
     backend = TPUDecoderBackend(params, cfg, tokenizer, seed=11)
     rng = np.random.default_rng(2024)
-    doc_freq: Counter = Counter()
-    for c in chunks:
-        doc_freq.update({_fold_word(w) for w in c.text.split()})
+    doc_freq = build_doc_freq(chunks)
 
     order = rng.permutation(len(chunks))
     samples, agg = [], Counter()
@@ -135,7 +133,14 @@ async def grounded_samples(params, cfg, tokenizer, chunks, n_samples: int) -> di
         q = make_question(src.text, rng, doc_freq)
         if q is None:
             continue
-        distractor = chunks[int(order[(len(samples) * 7 + 13) % len(order)])]
+        # Distractor must be a DIFFERENT document or the eval's
+        # wrong-context robustness is absent for that sample.
+        distractor = src
+        for off in range(13, 13 + len(order)):
+            cand = chunks[int(order[(len(samples) * 7 + off) % len(order)])]
+            if cand.doc_id != src.doc_id:
+                distractor = cand
+                break
         ctx_map = {}
         for c in (src, distractor):
             did = c.doc_id.replace(".txt", "")
@@ -183,11 +188,24 @@ async def main() -> None:
     from sqe_tpu.data.corpus import load_corpus
 
     params, cfg, tokenizer, fit_meta = load_lm(checkpoint_dir)
-    chunks = load_corpus(corpus_dir, 512)
+    # Reproduce the training run's chunking exactly — the holdout slice is
+    # defined over chunk INDICES, so a different chunk_size/corpus would
+    # silently evaluate train text while claiming held_out.
+    hc = fit_meta.get("holdout_corpus") or {}
+    chunk_size = int(hc.get("chunk_size", 512))
+    chunks = load_corpus(corpus_dir, chunk_size)
     assert chunks, f"no corpus under {corpus_dir}"
 
     ppl = perplexity(params, cfg, tokenizer, chunks, n_ppl_batches)
-    ppl["held_out"] = bool(fit_meta.get("holdout_slice"))
+    ppl["held_out"] = bool(
+        fit_meta.get("holdout_slice")
+        and hc.get("corpus_dir") in (None, corpus_dir)
+    )
+    if fit_meta.get("holdout_slice") and hc.get("corpus_dir") not in (
+            None, corpus_dir):
+        ppl["held_out_note"] = (
+            f"trained on {hc.get('corpus_dir')}, evaluated on {corpus_dir}"
+        )
     gen = await grounded_samples(params, cfg, tokenizer, chunks, n_samples)
 
     result = {

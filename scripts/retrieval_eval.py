@@ -13,9 +13,10 @@ reference's actual workload shape, app/main.py:467 — VERDICT r02 #1).
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> dict:

@@ -169,6 +169,10 @@ def _fit_lm(argv: list) -> None:
     with open(os.path.join(lm_dir, "lm_fit.json"), "w") as f:
         json.dump({"losses_head": losses[:3], "losses_tail": losses[-3:],
                    "steps": len(losses), "holdout_slice": holdout_slice,
+                   # The slice is over THIS chunking; lm_eval must reproduce
+                   # it exactly or held-out perplexity is mislabeled.
+                   "holdout_corpus": {"corpus_dir": cfg.corpus_dir,
+                                      "chunk_size": cfg.chunk_size},
                    "sft_steps": len(sft_losses),
                    "sft_losses_head": sft_losses[:3],
                    "sft_losses_tail": sft_losses[-3:]}, f)

@@ -222,7 +222,12 @@ class DeviceLFUCache:
         with self._lock:
             return {
                 "keys": np.asarray(self._keys),
-                "freqs": np.asarray(self._freqs),
+                # _freqs is a HOST array mutated in place by bumps;
+                # np.asarray would alias it and a hit landing between
+                # snapshot() and the checkpoint write would bake a bump into
+                # the snapshot while its journal record survives (double
+                # apply on restore). The device arrays are immutable.
+                "freqs": self._freqs.copy(),
                 "valid": np.asarray(self._valid),
                 "responses": list(self._responses),
                 "size": self._size,

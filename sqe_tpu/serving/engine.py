@@ -258,17 +258,26 @@ class RAGEngine:
         # in the file, and duplicating them would double-apply on the NEXT
         # restart. The hook is restored afterwards.
         saved_hook, self.cache.on_bump = self.cache.on_bump, None
+        slots_exact = True   # bump records are slot-indexed vs the live run
         try:
             for rec in cj.entries():
                 if "bumps" in rec:
                     # Slot-indexed: exact relative to the snapshot + puts
-                    # replayed so far (out-of-range slots are dropped).
-                    self.cache.apply_bumps(rec["bumps"])
+                    # replayed so far. Once any put record has been filtered
+                    # out (model change), replayed entries land in DIFFERENT
+                    # slots than they occupied live — applying the recorded
+                    # slot indices would credit bumps to the wrong entries,
+                    # so stop applying them (frequencies degrade to put-order,
+                    # never to corruption).
+                    if slots_exact:
+                        self.cache.apply_bumps(rec["bumps"])
                     continue
                 if rec["emb"].shape[0] != self.cfg.model.embed_dim:
-                    continue   # journaled under a different model config
+                    slots_exact = False   # journaled under another config
+                    continue
                 if rec.get("fp") is not None and rec["fp"] != fp:
-                    continue   # journaled under a different trained model
+                    slots_exact = False   # journaled under another model
+                    continue
                 self.cache.put(rec["emb"], rec["response"])
                 n += 1
         finally:

@@ -112,6 +112,17 @@ def _fold_word(w: str) -> str:
     return w.strip(".,;:!?()[]{}\"'`").lower()
 
 
+def build_doc_freq(chunks: Sequence[Chunk]) -> Counter:
+    """Corpus document-frequency counter over folded words — the ONE
+    implementation shared by the question generator's callers (question_eval,
+    train/lm_sft.sft_batches, scripts/lm_eval.py) so question semantics never
+    diverge between training and its evals."""
+    doc_freq: Counter = Counter()
+    for c in chunks:
+        doc_freq.update({_fold_word(w) for w in c.text.split()})
+    return doc_freq
+
+
 def _informative_terms(sentence_words: List[str],
                        doc_freq: Counter) -> List[str]:
     """Content words of one sentence, rarest-in-corpus first."""
@@ -191,9 +202,7 @@ def question_eval(
     emb = chunk_emb if chunk_emb is not None else embed_chunk_texts(
         embedder, chunks, batch_size)
 
-    doc_freq: Counter = Counter()
-    for t in texts:
-        doc_freq.update({_fold_word(w) for w in t.split()})
+    doc_freq = build_doc_freq(chunks)
 
     n_queries = min(n_queries, len(chunks))
     order = rng.permutation(len(chunks))

@@ -124,11 +124,9 @@ def sft_batches(
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Endless stream of ([B, seq_len+1] ids, [B, seq_len] weights)."""
     rng = np.random.default_rng(seed)
-    doc_freq: Counter = Counter()
-    from sqe_tpu.train.eval import _fold_word
+    from sqe_tpu.train.eval import build_doc_freq
 
-    for c in chunks:
-        doc_freq.update({_fold_word(w) for w in c.text.split()})
+    doc_freq = build_doc_freq(chunks)
 
     ids_rows, w_rows = [], []
     while True:

@@ -18,6 +18,23 @@ import numpy as np
 FORMAT_VERSION = 1
 
 
+def _atomic_savez(path: str, **arrays) -> None:
+    """np.savez via tmp + os.replace: a crash mid-write (device-stall kill
+    during a periodic checkpoint — the exact failure periodic saves insure
+    against) must never leave a torn .npz behind a valid manifest."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
 def save_index(
     path: str,
     vectors: np.ndarray,
@@ -33,15 +50,13 @@ def save_index(
         arrays["graph"] = graph
     if levels is not None:
         arrays["levels"] = levels
-    np.savez(os.path.join(path, "index.npz"), **arrays)
-    with open(os.path.join(path, "metas.jsonl"), "w", encoding="utf-8") as f:
-        for m in metas:
-            f.write(json.dumps(m) + "\n")
+    _atomic_savez(os.path.join(path, "index.npz"), **arrays)
+    _atomic_write(os.path.join(path, "metas.jsonl"),
+                  "".join(json.dumps(m) + "\n" for m in metas))
     manifest = {"version": FORMAT_VERSION, "n": int(vectors.shape[0])}
     if extra:
         manifest.update(extra)
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f)
+    _atomic_write(os.path.join(path, "manifest.json"), json.dumps(manifest))
 
 
 def load_index(path: str) -> Optional[dict]:
@@ -65,14 +80,17 @@ def load_index(path: str) -> Optional[dict]:
 
 def save_cache(path: str, snapshot: dict) -> None:
     os.makedirs(path, exist_ok=True)
-    np.savez(
+    _atomic_savez(
         os.path.join(path, "cache.npz"),
         keys=snapshot["keys"],
         freqs=snapshot["freqs"],
         valid=snapshot["valid"],
     )
-    with open(os.path.join(path, "cache_responses.json"), "w", encoding="utf-8") as f:
-        json.dump({"responses": snapshot["responses"], "size": snapshot["size"]}, f)
+    _atomic_write(
+        os.path.join(path, "cache_responses.json"),
+        json.dumps({"responses": snapshot["responses"],
+                    "size": snapshot["size"]}),
+    )
 
 
 def load_cache(path: str) -> Optional[dict]:
@@ -107,7 +125,7 @@ def save_model(
 
     os.makedirs(path, exist_ok=True)
     leaves = jax.tree_util.tree_leaves(params)
-    np.savez(
+    _atomic_savez(
         os.path.join(path, "model.npz"),
         **{f"p{i}": np.asarray(leaf, dtype=np.float32) for i, leaf in enumerate(leaves)},
     )
@@ -116,11 +134,11 @@ def save_model(
         "model_cfg": model_cfg,
         "n_leaves": len(leaves),
     }
-    with open(os.path.join(path, "model_manifest.json"), "w") as f:
-        json.dump(manifest, f)
+    _atomic_write(os.path.join(path, "model_manifest.json"),
+                  json.dumps(manifest))
     if tokenizer_state is not None:
-        with open(os.path.join(path, "tokenizer.json"), "w", encoding="utf-8") as f:
-            json.dump(tokenizer_state, f)
+        _atomic_write(os.path.join(path, "tokenizer.json"),
+                      json.dumps(tokenizer_state))
 
 
 def load_model(path: str) -> Optional[dict]:

@@ -266,6 +266,46 @@ def test_lfu_bump_journal_eviction_order_parity(small_engine_cfg, cpu_device,
     assert eng2.cache.get(keys[3]) == "answer 3"
 
 
+def test_cache_snapshot_isolated_from_later_bumps(small_engine_cfg,
+                                                  cpu_device):
+    """snapshot() must COPY the host freqs: a hit landing between snapshot
+    and the checkpoint write would otherwise bake its bump into the snapshot
+    while the bump's journal record survives — double-applied on restore."""
+    eng = RAGEngine(small_engine_cfg, device=cpu_device, backend=EchoBackend())
+    d = small_engine_cfg.model.embed_dim
+    key = np.eye(1, d, dtype=np.float32)[0]
+    eng._cache_put(key, "answer")
+    snap = eng.cache.snapshot()
+    before = snap["freqs"].copy()
+    assert eng.cache.get(key) == "answer"     # bump after the snapshot
+    np.testing.assert_array_equal(snap["freqs"], before)
+
+
+def test_bump_replay_skipped_after_filtered_put(small_engine_cfg, cpu_device,
+                                                tmp_path):
+    """Slot-indexed bump records are only exact while every journaled put
+    replays; once a put is filtered (model fingerprint change) the slots
+    diverge, and applying recorded indices would credit bumps to the WRONG
+    entries. Replay must stop applying bumps at that point."""
+    cfg = small_engine_cfg.with_overrides(checkpoint_dir=str(tmp_path / "cf"))
+    eng = RAGEngine(cfg, device=cpu_device, backend=EchoBackend())
+    d = cfg.model.embed_dim
+    keys = np.eye(2, d, dtype=np.float32)
+    cj = eng._cache_journal()
+    # Journal: put (STALE fp) -> put (current fp) -> bumps for live slot 1.
+    cj.append(keys[0], "stale-model answer", model_fp="other-model")
+    cj.append(keys[1], "current answer", model_fp=eng._model_fingerprint())
+    cj.append_bumps({1: 5})
+
+    eng2 = RAGEngine(cfg, device=cpu_device, backend=EchoBackend())
+    eng2.load_checkpoint()
+    # The surviving put replays into slot 0; the {1: 5} bump belonged to it
+    # live but must NOT be applied (slot 1 is empty now).
+    assert eng2.cache._responses[0] == "current answer"
+    assert int(eng2.cache._freqs[0]) == 1
+    assert int(eng2.cache._freqs[1]) == 0
+
+
 def test_build_index_cli_uses_trained_model(small_engine_cfg, cpu_device,
                                             tmp_path, monkeypatch):
     """`python -m sqe_tpu build-index` must embed with the checkpointed
