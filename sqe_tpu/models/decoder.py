@@ -243,6 +243,12 @@ def decode_step(
 ) -> Tuple[Params, jax.Array]:
     """One autoregressive step: append `token` at `pos`, return logits for
     the next token."""
+    return _decode_step_body(params, token, cache, pos, cfg)
+
+
+def _decode_step_body(params, token, cache, pos, cfg):
+    """Traced body shared by decode_step (one dispatch per token) and
+    decode_chunk (lax.scan: one dispatch per N tokens)."""
     dtype = jnp.dtype(cfg.dtype)
     b = token.shape[0]
     x = params["tok_emb"][token].astype(dtype) \
@@ -279,12 +285,71 @@ def sample_token(logits: jax.Array, key: jax.Array, temperature: float,
                  top_k: int = 40) -> jax.Array:
     """Greedy when temperature <= 0 (traced-safe via where), else top-k
     temperature sampling. logits [B, V] -> [B] int32."""
+    return _sample_body(logits, key, temperature, top_k)
+
+
+def _sample_body(logits, key, temperature, top_k):
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     vals, idxs = jax.lax.top_k(logits, top_k)
     scaled = vals / jnp.maximum(temperature, 1e-6)
     choice = jax.random.categorical(key, scaled, axis=-1)
     sampled = jnp.take_along_axis(idxs, choice[:, None], axis=1)[:, 0]
     return jnp.where(temperature > 0, sampled.astype(jnp.int32), greedy)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_tokens", "top_k", "pad_id"),
+    donate_argnums=(1,),
+)
+def decode_chunk(
+    params: Params,
+    cache: Params,        # donated
+    logits: jax.Array,    # [B, V] logits for the NEXT token
+    pos: jax.Array,       # [B] int32: where the next token is written
+    key: jax.Array,       # PRNG key (same chain as the per-token loop)
+    temperature: jax.Array,
+    *,
+    cfg: DecoderConfig,
+    n_tokens: int,
+    top_k: int = 40,
+    pad_id: int = 0,
+) -> Tuple[Params, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """``n_tokens`` autoregressive steps in ONE device program.
+
+    The per-token decode loop costs one device round-trip per word — ~29 ms
+    each through the dev tunnel (utils/dispatch.py), so a 96-token answer
+    paid ~96 dispatches. Scanning N steps on-device cuts that to
+    ``ceil(96/N)`` at the cost of streaming in N-word bursts, and wastes at
+    most one chunk of compute past EOS (sampling PAD freezes the carry:
+    position stops advancing and PAD fills the remaining slots, exactly
+    what the host loop would have emitted — key-split chain included, so
+    chunked output is bit-identical to the step-by-step loop for the same
+    seed; gated in tests/test_decoder.py).
+
+    Returns (cache, logits, pos, key, tokens [B, n_tokens]).
+    """
+    def step(carry, _):
+        cache, logits, pos, key, done = carry
+        key, sub = jax.random.split(key)
+        tok = _sample_body(logits, sub, temperature, top_k)
+        done = done | (tok == pad_id) | (pos >= cfg.max_len)
+        tok = jnp.where(done, jnp.int32(pad_id), tok)
+        # Frozen rows still compute (uniform control flow) but write their
+        # PAD k/v at the frozen position — a slot past their last real
+        # token that is never attended to by kept tokens.
+        write_pos = jnp.minimum(pos, cfg.max_len - 1)
+        cache, new_logits = _decode_step_body(params, tok, cache, write_pos, cfg)
+        logits = jnp.where(done[:, None], logits, new_logits)
+        pos = jnp.where(done, pos, pos + 1)
+        return (cache, logits, pos, key, done), tok
+
+    b = logits.shape[0]
+    done0 = jnp.zeros((b,), jnp.bool_)
+    (cache, logits, pos, key, _), toks = jax.lax.scan(
+        step, (cache, logits, pos, key, done0), None, length=n_tokens
+    )
+    return cache, logits, pos, key, toks.T  # [B, n_tokens]
 
 
 def decoder_params_from_leaves(cfg: DecoderConfig, leaves) -> Params:

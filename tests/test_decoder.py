@@ -59,6 +59,68 @@ def test_kv_cache_matches_full_forward():
     assert got_tokens == oracle_tokens
 
 
+def test_decode_chunk_matches_per_token_loop():
+    """decode_chunk (N steps per device program) must emit the EXACT token
+    sequence the per-token sample/step loop produces for the same seed —
+    key-split chain included — up to the first PAD, after which it pads."""
+    from sqe_tpu.models.decoder import decode_chunk
+
+    params = init_decoder_params(CFG, jax.random.PRNGKey(4))
+    prompt = np.array([[7, 2, 11]], np.int32)
+    length = prompt.shape[1]
+    ids = np.zeros((1, 8), np.int32)
+    ids[0, :length] = prompt[0]
+    n_new, temp, top_k = 12, 0.8, 8
+
+    def run_loop():
+        cache = init_kv_cache(CFG, batch=1)
+        cache, logits = prefill(params, jnp.asarray(ids), cache,
+                                jnp.asarray([length], np.int32), cfg=CFG)
+        key = jax.random.PRNGKey(123)
+        out, pos = [], length
+        for _ in range(n_new):
+            key, sub = jax.random.split(key)
+            tok = int(np.asarray(sample_token(logits, sub, temp, top_k))[0])
+            if tok == PAD_ID:
+                break
+            out.append(tok)
+            cache, logits = decode_step(params, jnp.asarray([tok], jnp.int32),
+                                        cache, jnp.asarray([pos], jnp.int32),
+                                        cfg=CFG)
+            pos += 1
+            if pos >= CFG.max_len:
+                break
+        return out
+
+    def run_chunked(chunk):
+        cache = init_kv_cache(CFG, batch=1)
+        cache, logits = prefill(params, jnp.asarray(ids), cache,
+                                jnp.asarray([length], np.int32), cfg=CFG)
+        key = jax.random.PRNGKey(123)
+        pos = jnp.asarray([length], jnp.int32)
+        out, emitted = [], 0
+        while emitted < n_new:
+            n = min(chunk, n_new - emitted)
+            cache, logits, pos, key, toks = decode_chunk(
+                params, cache, logits, pos, key, jnp.float32(temp),
+                cfg=CFG, n_tokens=n, top_k=top_k, pad_id=PAD_ID)
+            stop = False
+            for t in np.asarray(toks)[0]:
+                if int(t) == PAD_ID:
+                    stop = True
+                    break
+                out.append(int(t))
+            emitted += n
+            if stop:
+                break
+        return out
+
+    expect = run_loop()
+    assert expect, "degenerate test: loop emitted nothing"
+    for chunk in (1, 4, 12):
+        assert run_chunked(chunk) == expect, f"chunk={chunk}"
+
+
 def test_sample_token_modes():
     logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0]])
     key = jax.random.PRNGKey(0)
