@@ -182,6 +182,28 @@ def main():
         "fused int8 scan B=4096 (per-1024 share x4)",
     )
 
+    # int8 + exact residual rerank: the recall-restoring int8 serving path
+    # (index/flat.py int8_scan_rerank_topk, VERDICT r02 #2) — scan at the
+    # int8 MXU rate, then near-exact rerank of the top-128 candidates.
+    from sqe_tpu.index.flat import int8_scan_rerank_topk
+
+    @jax.jit
+    def _resid(v, p, ps):
+        return quantize_rows(v.astype(jnp.float32) - p.astype(jnp.float32) * ps)
+
+    r_i8, r_s = _resid(vecs_fused, v_i8, v_s)
+    _rs, rids = int8_scan_rerank_topk(q_dev, v_i8, v_s, r_i8, r_s,
+                                      jnp.int32(n), k=k, r=128, bn=bn)
+    rerank_recall = float(
+        epsilon_recall(vecs, queries, np.asarray(rids), ref_scores, k)
+    )
+    log(f"fused int8+rerank epsilon-recall@{k}: {rerank_recall:.4f}")
+    rerank_qps = timed_windows(
+        lambda: int8_scan_rerank_topk(q_dev, v_i8, v_s, r_i8, r_s,
+                                      jnp.int32(n), k=k, r=128, bn=bn),
+        "fused int8+rerank",
+    )
+
     # HNSW graph path: ALWAYS measured and recorded in the artifact
     # (VERDICT r02 #5 — the round-2 skip was silent under time pressure).
     # A failure is recorded in the output JSON, never swallowed to stderr
@@ -250,6 +272,11 @@ def main():
         candidates.append(
             (int8x4_qps,
              f"int8_scan_qps_100k_1024d_B4096_recall{int8_recall:.3f}")
+        )
+    if rerank_recall >= 0.95:
+        candidates.append(
+            (rerank_qps,
+             f"int8_rerank_qps_100k_1024d_recall{rerank_recall:.3f}")
         )
     if hnsw_recall >= 0.95:
         candidates.append(
