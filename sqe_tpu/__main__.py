@@ -145,10 +145,11 @@ def _fit_lm(argv: list) -> None:
         n_heads=flags["lm_heads"], d_ff=flags["lm_d_ff"],
         max_len=max(flags["lm_seq_len"] * 4, 1024),
     )
+    lm_dir = os.path.join(cfg.checkpoint_dir, "lm")
     params, losses = fit_lm(
         train_chunks, dcfg, tokenizer, steps=flags["lm_steps"],
         batch_size=flags["lm_batch"], seq_len=flags["lm_seq_len"],
-        lr=flags["lm_lr"],
+        lr=flags["lm_lr"], ckpt_dir=lm_dir,
     )
     print(f"lm fit: {len(losses)} steps, loss {losses[0]:.3f} -> {losses[-1]:.3f}")
     sft_losses = []
@@ -159,6 +160,7 @@ def _fit_lm(argv: list) -> None:
             params, train_chunks, dcfg, tokenizer,
             steps=flags["lm_sft_steps"], batch_size=flags["lm_sft_batch"],
             seq_len=flags["lm_sft_seq"], lr=flags["lm_sft_lr"],
+            ckpt_dir=lm_dir,
         )
         print(f"lm sft: {len(sft_losses)} steps, "
               f"loss {sft_losses[0]:.3f} -> {sft_losses[-1]:.3f}")

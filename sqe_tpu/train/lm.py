@@ -93,6 +93,8 @@ def fit_lm(
     lr: float = 3e-4,
     seed: int = 0,
     log_every: int = 100,
+    ckpt_dir: Optional[str] = None,
+    ckpt_every: int = 2000,
 ) -> Tuple[dict, List[float]]:
     params = init_decoder_params(cfg, jax.random.PRNGKey(seed))
     tx = optax.chain(
@@ -123,6 +125,23 @@ def fit_lm(
         if (i + 1) % log_every == 0 or i == 0:
             log.info("lm step %d/%d loss %.4f (%.1fs)", i + 1, steps,
                      float(device_losses[-1]), time.perf_counter() - t0)
+        if ckpt_dir and (i + 1) % ckpt_every == 0 and (i + 1) < steps:
+            _periodic_save_lm(ckpt_dir, params, cfg, tokenizer, i + 1)
     from sqe_tpu.train.fit import _drain_losses
 
     return params, _drain_losses(device_losses)
+
+
+def _periodic_save_lm(ckpt_dir: str, params, cfg: DecoderConfig, tokenizer,
+                      step: int) -> None:
+    """Deployable mid-run LM checkpoint — the dev chip has 30-60 min dead
+    windows (train/fit.py learned this the hard way); a multi-hour LM fit
+    without periodic saves loses everything to one stall-kill."""
+    from sqe_tpu.data.tokenizer import tokenizer_to_dict
+    from sqe_tpu.utils import checkpoint as ckpt
+
+    t0 = time.perf_counter()
+    ckpt.save_model(ckpt_dir, params, cfg.to_dict(),
+                    tokenizer_state=tokenizer_to_dict(tokenizer))
+    log.info("lm periodic checkpoint at step %d -> %s (%.1fs)",
+             step, ckpt_dir, time.perf_counter() - t0)

@@ -170,6 +170,8 @@ def fit_lm_sft(
     seed: int = 0,
     refusal_frac: float = 0.15,
     log_every: int = 100,
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 1000,
 ) -> Tuple[dict, List[float]]:
     """Fine-tune ``params`` (the base LM) on grounded-answer examples."""
     tx = optax.chain(
@@ -200,6 +202,10 @@ def fit_lm_sft(
         if (i + 1) % log_every == 0 or i == 0:
             log.info("sft step %d/%d loss %.4f (%.1fs)", i + 1, steps,
                      float(device_losses[-1]), time.perf_counter() - t0)
+        if ckpt_dir and (i + 1) % ckpt_every == 0 and (i + 1) < steps:
+            from sqe_tpu.train.lm import _periodic_save_lm
+
+            _periodic_save_lm(ckpt_dir, params, cfg, tokenizer, i + 1)
     from sqe_tpu.train.fit import _drain_losses
 
     return params, _drain_losses(device_losses)
