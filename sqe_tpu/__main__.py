@@ -204,7 +204,12 @@ def _fit(argv: list) -> None:
     # 12k steps x batch 512 -> acc@1 0.574; ~80 min on one v5e chip).
     fit_flags = {"steps": 12000, "lr": 3e-4, "fit_batch": 512,
                  "pair_max_len": 512, "eval_queries": 256, "hash_vocab": False,
-                 "q_dropout": 0.0, "ckpt_every": 2000}
+                 "q_dropout": 0.0, "q_shuffle": 0.0, "ckpt_every": 2000,
+                 # Warm-start fine-tune from an existing checkpoint dir
+                 # (e.g. question-style augmentation on a span-trained
+                 # model); reuses its tokenizer so embeddings stay in the
+                 # same token space.
+                 "init_from": ""}
     remaining = []
     for arg in argv:
         key, _, raw = arg.lstrip("-").partition("=")
@@ -222,7 +227,23 @@ def _fit(argv: list) -> None:
     print(f"corpus: {len(chunks)} chunks from {cfg.corpus_dir}")
 
     tokenizer = None
-    if not fit_flags["hash_vocab"]:
+    init_params = None
+    if fit_flags["init_from"]:
+        from sqe_tpu.data.tokenizer import tokenizer_from_dict
+        from sqe_tpu.models.embedder import params_from_leaves
+
+        state = ckpt.load_model(fit_flags["init_from"])
+        assert state is not None, f"no model under {fit_flags['init_from']}"
+        from sqe_tpu.config import ModelConfig
+
+        mcfg = ModelConfig(**state["model_cfg"])
+        cfg = cfg.with_overrides(model=mcfg)
+        init_params = params_from_leaves(mcfg, state["leaves"])
+        if state["tokenizer_state"] is not None:
+            tokenizer = tokenizer_from_dict(
+                state["tokenizer_state"], mcfg.vocab_size, mcfg.max_len)
+        print(f"warm start from {fit_flags['init_from']}")
+    elif not fit_flags["hash_vocab"]:
         tokenizer = VocabTokenizer.train(
             [c.text for c in chunks], cfg.model.vocab_size, cfg.model.max_len
         )
@@ -236,7 +257,8 @@ def _fit(argv: list) -> None:
         pair_max_len=fit_flags["pair_max_len"], lr=fit_flags["lr"],
         attn_impl=attn_impl, tokenizer=tokenizer,
         ckpt_dir=cfg.checkpoint_dir, ckpt_every=fit_flags["ckpt_every"],
-        q_dropout=fit_flags["q_dropout"],
+        q_dropout=fit_flags["q_dropout"], q_shuffle=fit_flags["q_shuffle"],
+        init_params=init_params,
     )
     print(f"fit: {len(losses)} steps, loss {losses[0]:.4f} -> {losses[-1]:.4f}")
 

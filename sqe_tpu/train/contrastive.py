@@ -61,8 +61,13 @@ def make_train_state(
     lr: float = 1e-4,
     key: Optional[jax.Array] = None,
     schedule_steps: Optional[int] = None,
+    init_params=None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
-    params = init_embedder_params(cfg, key)
+    """``init_params`` warm-starts from an existing checkpoint (fine-tune
+    recipes: e.g. question-style augmentation on top of a span-trained
+    model) instead of a fresh random init."""
+    params = init_params if init_params is not None \
+        else init_embedder_params(cfg, key)
     tx = make_optimizer(lr, schedule_steps=schedule_steps)
     return TrainState(params, tx.init(params), jnp.int32(0)), tx
 

@@ -56,6 +56,7 @@ def pair_batches(
     style: str = "sym",
     q_max_len: int = 32,
     q_dropout: float = 0.0,
+    q_shuffle: float = 0.0,
 ) -> Iterator[dict]:
     """Yields train-step batches: {q_ids, q_mask, p_ids, p_mask}.
 
@@ -71,6 +72,13 @@ def pair_batches(
     stops being a verbatim contiguous n-gram of its passage, pushing the
     model toward bag-of-content-words matching — the shape of real
     natural-language questions (see train/eval.py question_eval).
+
+    ``q_shuffle`` (asym only) permutes the surviving query tokens with that
+    per-example probability: real questions mention a passage's terms in
+    their own order, not the passage's. Together dropout+shuffle make the
+    training query distribution order- and contiguity-free — the question
+    workload's shape — while remaining fully self-supervised (no reuse of
+    the eval's templates).
     """
     rng = np.random.default_rng(seed)
     if style == "asym":
@@ -112,6 +120,9 @@ def pair_batches(
                             keep[int(rng.integers(0, span))] = True
                         toks = toks[keep]
                         span = len(toks)
+                    if q_shuffle > 0.0 and span > 1 \
+                            and rng.random() < q_shuffle:
+                        toks = toks[rng.permutation(span)]
                     q_ids[j, 0] = CLS_ID
                     q_ids[j, 1 : 1 + span] = toks
                     q_mask[j, : 1 + span] = 1.0

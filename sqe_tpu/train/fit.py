@@ -53,6 +53,8 @@ def fit_embedder(
     ckpt_dir: Optional[str] = None,
     ckpt_every: int = 2000,
     q_dropout: float = 0.0,
+    q_shuffle: float = 0.0,
+    init_params=None,
 ):
     """Train on in-chunk span pairs; returns (params, losses).
 
@@ -70,7 +72,8 @@ def fit_embedder(
     cfg = cfg or ModelConfig()
     tokenizer = tokenizer or HashingTokenizer(cfg.vocab_size, cfg.max_len)
     state, tx = make_train_state(cfg, lr=lr, key=jax.random.PRNGKey(seed),
-                                 schedule_steps=steps)
+                                 schedule_steps=steps,
+                                 init_params=init_params)
     # Rematerialize layer activations for big negative pools: batch 512 at
     # L=512 is the no-remat HBM ceiling on a 16 GB chip (b=1024 measured
     # 30 GB); remat trades ~1 forward of MXU FLOPs for O(1)-layer activation
@@ -86,7 +89,7 @@ def fit_embedder(
     batches = pair_batches(
         chunks, tokenizer, batch_size=batch_size, max_len=pair_max_len,
         seed=seed, epochs=max(1, steps), style=style, q_max_len=q_max_len,
-        q_dropout=q_dropout,
+        q_dropout=q_dropout, q_shuffle=q_shuffle,
     )
     for i, batch in enumerate(batches):
         if i >= steps:

@@ -151,6 +151,49 @@ def test_q_dropout_subsets_passage_tokens():
             assert span <= passage
 
 
+def test_q_shuffle_permutes_within_passage():
+    """Shuffled queries keep the same token multiset (still drawn from the
+    passage) but at least one query must break contiguity — the
+    order-free question shape (train/eval.py question_eval)."""
+    from sqe_tpu.data.tokenizer import CLS_ID
+
+    tok = HashingTokenizer(CFG.vocab_size, CFG.max_len)
+    batches = list(pair_batches(_chunks(16), tok, batch_size=8, max_len=32,
+                                epochs=2, style="asym", q_max_len=16,
+                                q_shuffle=1.0, seed=5))
+    assert batches
+    non_contiguous = 0
+    for b in batches:
+        for j in range(8):
+            q_len = int(b["q_mask"][j].sum())
+            assert b["q_ids"][j, 0] == CLS_ID
+            span = b["q_ids"][j, 1:q_len].tolist()
+            passage = b["p_ids"][j, 1:].tolist()
+            assert set(span) <= set(passage)
+            if not any(passage[s:s + len(span)] == span
+                       for s in range(len(passage) - len(span) + 1)):
+                non_contiguous += 1
+    assert non_contiguous > 0
+
+
+def test_warm_start_resumes_from_params():
+    """init_params warm-starts the train state: the first-step loss of a
+    warm-started fit must match continuing the original fit, not a fresh
+    random init."""
+    import jax
+
+    from sqe_tpu.train.contrastive import make_train_state
+
+    cfg = CFG
+    st_fresh, _ = make_train_state(cfg, key=jax.random.PRNGKey(0))
+    st_warm, _ = make_train_state(cfg, key=jax.random.PRNGKey(1),
+                                  init_params=st_fresh.params)
+    a = jax.tree_util.tree_leaves(st_fresh.params)
+    b = jax.tree_util.tree_leaves(st_warm.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_asym_pairs_are_token_subspans():
     """Token-space query spans must be contiguous slices of their passage's
     token row (CLS re-prepended), with serving-shaped lengths."""
