@@ -17,7 +17,10 @@ All commands accept ``--dotted.key=value`` config overrides
   python -m sqe_tpu fit --corpus_dir=PMC --checkpoint_dir=ckpt --steps=2000
 
 ``fit``-only flags: --steps=N --lr=F --fit_batch=N --pair_max_len=N
---eval_queries=N --hash_vocab=true (skip the learned vocabulary).
+--eval_queries=N --hash_vocab=true (skip the learned vocabulary)
+--q_dropout=F --q_shuffle=F (question-shaped query augmentation)
+--init_from=DIR (warm-start fine-tune) --hard_k=N --hard_group=N
+--hard_frac=F (mined-hard-negative batches; needs --init_from).
 A later ``serve``/``build-index`` with the same --checkpoint_dir picks up the
 trained model automatically and re-embeds the corpus if the stored index was
 built by a different model.
@@ -209,7 +212,14 @@ def _fit(argv: list) -> None:
                  # (e.g. question-style augmentation on a span-trained
                  # model); reuses its tokenizer so embeddings stay in the
                  # same token space.
-                 "init_from": ""}
+                 "init_from": "",
+                 # Mined-hard-negative fine-tune (train/mine.py): embed the
+                 # corpus with the warm-start model, mine each chunk's
+                 # hard_k nearest neighbors, and assemble hard_frac of every
+                 # batch as size-hard_group confusable neighborhoods.
+                 # Requires --init_from (mining with a random model is
+                 # noise). 0 disables.
+                 "hard_k": 0, "hard_group": 16, "hard_frac": 0.5}
     remaining = []
     for arg in argv:
         key, _, raw = arg.lstrip("-").partition("=")
@@ -251,6 +261,25 @@ def _fit(argv: list) -> None:
               f"(+{tokenizer.hash_tail} hashed-tail buckets)")
 
     attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    hard_neighbors = None
+    if fit_flags["hard_k"] > 0:
+        assert init_params is not None, \
+            "--hard_k needs --init_from (mining embeds the corpus with the" \
+            " warm-start model; a random model's neighborhoods are noise)"
+        import numpy as np
+
+        from sqe_tpu.train.mine import mine_hard_neighbors
+
+        miner = Embedder(cfg.model, params=init_params, attn_impl=attn_impl,
+                         tokenizer=tokenizer)
+        emb = embed_chunk_texts(miner, chunks)
+        hard_neighbors = mine_hard_neighbors(np.asarray(emb),
+                                             k=fit_flags["hard_k"])
+        print(f"mined hard neighborhoods: k={fit_flags['hard_k']} over "
+              f"{len(chunks)} chunks (group={fit_flags['hard_group']}, "
+              f"frac={fit_flags['hard_frac']})")
+
     params, losses = fit_embedder(
         chunks, cfg.model, steps=fit_flags["steps"],
         batch_size=fit_flags["fit_batch"],
@@ -259,6 +288,8 @@ def _fit(argv: list) -> None:
         ckpt_dir=cfg.checkpoint_dir, ckpt_every=fit_flags["ckpt_every"],
         q_dropout=fit_flags["q_dropout"], q_shuffle=fit_flags["q_shuffle"],
         init_params=init_params,
+        hard_neighbors=hard_neighbors, hard_group=fit_flags["hard_group"],
+        hard_frac=fit_flags["hard_frac"],
     )
     print(f"fit: {len(losses)} steps, loss {losses[0]:.4f} -> {losses[-1]:.4f}")
 

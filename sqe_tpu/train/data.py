@@ -57,6 +57,9 @@ def pair_batches(
     q_max_len: int = 32,
     q_dropout: float = 0.0,
     q_shuffle: float = 0.0,
+    hard_neighbors=None,
+    hard_group: int = 16,
+    hard_frac: float = 0.5,
 ) -> Iterator[dict]:
     """Yields train-step batches: {q_ids, q_mask, p_ids, p_mask}.
 
@@ -79,6 +82,15 @@ def pair_batches(
     training query distribution order- and contiguity-free — the question
     workload's shape — while remaining fully self-supervised (no reuse of
     the eval's templates).
+
+    ``hard_neighbors`` (asym only) is an ``[len(chunks), k]`` int array of
+    mined nearest-neighbor chunk indices (train/mine.py, -1 padded). When
+    given, the first ``hard_frac`` of every batch is assembled as
+    seed-plus-neighbor groups of size ``hard_group``, so each example's
+    in-batch negative pool contains its ``hard_group - 1`` most confusable
+    corpus chunks instead of only random ones; the rest of the batch stays
+    random (mined neighborhoods carry false-negative risk — an all-hard
+    batch would amplify it).
     """
     rng = np.random.default_rng(seed)
     if style == "asym":
@@ -102,32 +114,95 @@ def pair_batches(
         p_all_ids = np.concatenate(p_all_ids)
         p_all_mask = np.concatenate(p_all_mask)
         tok_lens = p_all_mask.sum(axis=1).astype(np.int64) - 1  # minus CLS
-        for _ in range(epochs):
-            order = rng.permutation(len(texts))
-            for start in range(0, len(order) - batch_size + 1, batch_size):
-                rows = order[start : start + batch_size]
-                q_ids = np.zeros((batch_size, q_max_len), np.int32)
-                q_mask = np.zeros((batch_size, q_max_len), np.float32)
-                for j, r in enumerate(rows):
-                    n_tok = max(1, int(tok_lens[r]))
-                    span = min(int(rng.integers(4, 25)), n_tok,
-                               q_max_len - 1)
-                    s = int(rng.integers(0, n_tok - span + 1))
-                    toks = p_all_ids[r, 1 + s : 1 + s + span]
-                    if q_dropout > 0.0 and span > 1:
-                        keep = rng.random(span) >= q_dropout
-                        if not keep.any():
-                            keep[int(rng.integers(0, span))] = True
-                        toks = toks[keep]
-                        span = len(toks)
-                    if q_shuffle > 0.0 and span > 1 \
-                            and rng.random() < q_shuffle:
-                        toks = toks[rng.permutation(span)]
-                    q_ids[j, 0] = CLS_ID
-                    q_ids[j, 1 : 1 + span] = toks
-                    q_mask[j, : 1 + span] = 1.0
-                yield {"q_ids": q_ids, "q_mask": q_mask,
-                       "p_ids": p_all_ids[rows], "p_mask": p_all_mask[rows]}
+
+        hn = None
+        if hard_neighbors is not None and hard_frac > 0.0 and hard_group > 1:
+            # hard_neighbors indexes the UNfiltered chunks sequence; remap
+            # into filtered-text positions, dropping neighbors whose chunk
+            # was filtered out.
+            keep_idx = [i for i, c in enumerate(chunks) if c.text.strip()]
+            pos = np.full(len(chunks), -1, np.int64)
+            pos[keep_idx] = np.arange(len(keep_idx))
+            hard_neighbors = np.asarray(hard_neighbors)
+            hn = np.where(
+                hard_neighbors < 0, -1,
+                pos[np.clip(hard_neighbors, 0, len(chunks) - 1)],
+            )[keep_idx]
+        n_hard = min(batch_size, int(round(batch_size * hard_frac)))
+
+        def _row_batches():
+            """Row-index arrays, one per batch. Plain: a permutation walk
+            (each chunk once per epoch, tail dropped). Mined: the first
+            ``n_hard`` slots fill as seed+neighbor groups, the rest (and any
+            epoch-tail shortfall) fill with distinct random rows."""
+            for _ in range(epochs):
+                order = rng.permutation(len(texts))
+                if hn is None:
+                    for start in range(0, len(order) - batch_size + 1,
+                                       batch_size):
+                        yield order[start : start + batch_size]
+                    continue
+                ptr = 0
+                while ptr < len(order):
+                    rows: List[int] = []
+                    taken = set()
+                    while len(rows) < n_hard and ptr < len(order):
+                        seed_row = int(order[ptr])
+                        ptr += 1
+                        if seed_row in taken:
+                            continue
+                        rows.append(seed_row)
+                        taken.add(seed_row)
+                        room = min(hard_group - 1, n_hard - len(rows))
+                        if room <= 0:
+                            continue
+                        nbrs = hn[seed_row]
+                        # Uniform over the mined k (not always the top few):
+                        # keeps the hard pool varied across epochs.
+                        for nb in rng.permutation(nbrs[nbrs >= 0]):
+                            if room <= 0:
+                                break
+                            nb = int(nb)
+                            if nb not in taken:
+                                rows.append(nb)
+                                taken.add(nb)
+                                room -= 1
+                    if not rows:
+                        continue
+                    if len(rows) < batch_size:
+                        for r in rng.permutation(len(texts)):
+                            if len(rows) >= batch_size:
+                                break
+                            r = int(r)
+                            if r not in taken:
+                                rows.append(r)
+                                taken.add(r)
+                    if len(rows) == batch_size:
+                        yield np.asarray(rows)
+
+        for rows in _row_batches():
+            q_ids = np.zeros((batch_size, q_max_len), np.int32)
+            q_mask = np.zeros((batch_size, q_max_len), np.float32)
+            for j, r in enumerate(rows):
+                n_tok = max(1, int(tok_lens[r]))
+                span = min(int(rng.integers(4, 25)), n_tok,
+                           q_max_len - 1)
+                s = int(rng.integers(0, n_tok - span + 1))
+                toks = p_all_ids[r, 1 + s : 1 + s + span]
+                if q_dropout > 0.0 and span > 1:
+                    keep = rng.random(span) >= q_dropout
+                    if not keep.any():
+                        keep[int(rng.integers(0, span))] = True
+                    toks = toks[keep]
+                    span = len(toks)
+                if q_shuffle > 0.0 and span > 1 \
+                        and rng.random() < q_shuffle:
+                    toks = toks[rng.permutation(span)]
+                q_ids[j, 0] = CLS_ID
+                q_ids[j, 1 : 1 + span] = toks
+                q_mask[j, : 1 + span] = 1.0
+            yield {"q_ids": q_ids, "q_mask": q_mask,
+                   "p_ids": p_all_ids[rows], "p_mask": p_all_mask[rows]}
         return
     texts = [c.text.split() for c in chunks if c.text.strip()]
     if not texts:

@@ -55,6 +55,9 @@ def fit_embedder(
     q_dropout: float = 0.0,
     q_shuffle: float = 0.0,
     init_params=None,
+    hard_neighbors=None,
+    hard_group: int = 16,
+    hard_frac: float = 0.5,
 ):
     """Train on in-chunk span pairs; returns (params, losses).
 
@@ -68,7 +71,9 @@ def fit_embedder(
     stalls with nothing saved (DESIGN.md §10, round-2 1024-way run) — a
     periodic save bounds the loss to ``ckpt_every`` steps. ``q_dropout``
     randomly drops query-span tokens during batch assembly (see
-    train/data.py)."""
+    train/data.py). ``hard_neighbors`` ([len(chunks), k] mined indices,
+    train/mine.py) groups each example with its most confusable corpus
+    chunks so the in-batch negative pool stays hard (see pair_batches)."""
     cfg = cfg or ModelConfig()
     tokenizer = tokenizer or HashingTokenizer(cfg.vocab_size, cfg.max_len)
     state, tx = make_train_state(cfg, lr=lr, key=jax.random.PRNGKey(seed),
@@ -90,6 +95,8 @@ def fit_embedder(
         chunks, tokenizer, batch_size=batch_size, max_len=pair_max_len,
         seed=seed, epochs=max(1, steps), style=style, q_max_len=q_max_len,
         q_dropout=q_dropout, q_shuffle=q_shuffle,
+        hard_neighbors=hard_neighbors, hard_group=hard_group,
+        hard_frac=hard_frac,
     )
     for i, batch in enumerate(batches):
         if i >= steps:
