@@ -129,6 +129,10 @@ def pair_batches(
                 pos[np.clip(hard_neighbors, 0, len(chunks) - 1)],
             )[keep_idx]
         n_hard = min(batch_size, int(round(batch_size * hard_frac)))
+        if n_hard <= 0:
+            # A zero hard quota would leave the seed pointer stuck (the
+            # group loop below only advances it while filling hard slots).
+            hn = None
 
         def _row_batches():
             """Row-index arrays, one per batch. Plain: a permutation walk

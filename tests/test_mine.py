@@ -105,13 +105,14 @@ def test_hard_frac_zero_matches_plain_batching():
     nbrs = np.zeros((len(chunks), 4), np.int32)
     plain = list(pair_batches(chunks, tok, batch_size=8, max_len=32,
                               epochs=1, style="asym", seed=9))
-    gated = list(pair_batches(chunks, tok, batch_size=8, max_len=32,
-                              epochs=1, style="asym", seed=9,
-                              hard_neighbors=nbrs, hard_frac=0.0))
-    assert len(plain) == len(gated)
-    for a, b in zip(plain, gated):
-        np.testing.assert_array_equal(a["p_ids"], b["p_ids"])
-        np.testing.assert_array_equal(a["q_ids"], b["q_ids"])
+    for frac in (0.0, 0.01):  # 0.01 rounds to a zero hard quota at B=8
+        gated = list(pair_batches(chunks, tok, batch_size=8, max_len=32,
+                                  epochs=1, style="asym", seed=9,
+                                  hard_neighbors=nbrs, hard_frac=frac))
+        assert len(plain) == len(gated)
+        for a, b in zip(plain, gated):
+            np.testing.assert_array_equal(a["p_ids"], b["p_ids"])
+            np.testing.assert_array_equal(a["q_ids"], b["q_ids"])
 
 
 def test_fit_accepts_hard_neighbors(cpu_device):
