@@ -54,18 +54,34 @@ def main(argv=None) -> dict:
     embedder = Embedder(mcfg, params=params, attn_impl=attn_impl,
                         tokenizer=tokenizer)
 
-    chunks = load_corpus(flags["corpus_dir"], 512)[: flags["n_chunks"]]
-    assert chunks, f"no corpus under {flags['corpus_dir']}"
-    print(f"model: {flags['checkpoint_dir']}  eval chunks: {len(chunks)}")
+    all_chunks = load_corpus(flags["corpus_dir"], 512)
+    assert all_chunks, f"no corpus under {flags['corpus_dir']}"
+    chunks = all_chunks[: flags["n_chunks"]]
+    print(f"model: {flags['checkpoint_dir']}  eval chunks: {len(chunks)} "
+          f"(full pool: {len(all_chunks)})")
 
-    emb = embed_chunk_texts(embedder, chunks)
+    # Embed the FULL corpus once; the n_chunks ladder pool is its prefix, so
+    # its embeddings are the same rows (the forward is batch-invariant).
+    emb_full = embed_chunk_texts(embedder, all_chunks)
+    emb = emb_full[: len(chunks)]
     report = {
         "checkpoint_dir": flags["checkpoint_dir"],
         "n_chunks": len(chunks),
+        # Ladder pool (round-2 protocol, DESIGN §10): comparable to the
+        # 128/256/512-way rows.
         "span": retrieval_eval(embedder, chunks,
                                n_queries=flags["n_queries"], chunk_emb=emb),
         "question": question_eval(embedder, chunks,
                                   n_queries=flags["n_queries"], chunk_emb=emb),
+        # Serving-realistic pool: the query must find its chunk among the
+        # whole corpus, exactly what /ask retrieval does.
+        "n_chunks_full": len(all_chunks),
+        "span_full": retrieval_eval(embedder, all_chunks,
+                                    n_queries=flags["n_queries"],
+                                    chunk_emb=emb_full),
+        "question_full": question_eval(embedder, all_chunks,
+                                       n_queries=flags["n_queries"],
+                                       chunk_emb=emb_full),
     }
     print(json.dumps(report, indent=2))
     if flags["out"]:
