@@ -231,68 +231,76 @@ def run_scale(n, d=1024, with_ivf=True):
     # serving path. 2 bytes/dim total — bf16 memory parity — so the bf16
     # base is DELETED before the residual plane materializes (production
     # does not hold both; at 4M they cannot coexist in HBM anyway) and
-    # regenerated blockwise for recall scoring.
-    from sqe_tpu.index.flat import int8_scan_rerank_topk
+    # regenerated blockwise for recall scoring. First unattended execution
+    # of this phase at >1M: isolate failures so the session's earlier rows
+    # (and the later scales) survive an exception here.
+    r_i8 = r_s = None
+    try:
+        blk_fn = _block_fn(jax.random.PRNGKey(11), d)
 
-    t0 = time.perf_counter()
-    blk_fn = _block_fn(jax.random.PRNGKey(11), d)
+        @jax.jit
+        def resid_chunk(v, p, ps):
+            err = v.astype(jnp.float32) - p.astype(jnp.float32) * ps
+            return quantize_rows(err)
 
-    @jax.jit
-    def resid_chunk(v, p, ps):
-        err = v.astype(jnp.float32) - p.astype(jnp.float32) * ps
-        return quantize_rows(err)
+        r_i8 = jnp.zeros((n, d), jnp.int8)
+        r_s = jnp.zeros((n, 1), jnp.float32)
+        vecs.delete()
+        assert chunk == GEN_BLOCK
+        for bi, c0 in enumerate(range(0, n, chunk)):
+            rv, rs = resid_chunk(blk_fn(jnp.int32(bi)),
+                                 v_i8[c0:c0 + chunk], v_s[c0:c0 + chunk])
+            r_i8 = fill(r_i8, rv, jnp.int32(c0))
+            r_s = fill(r_s, rs, jnp.int32(c0))
+        np.asarray(r_s[0])
+        log(f"residual quantize (base deleted): {time.perf_counter()-t0:.1f}s")
 
-    r_i8 = jnp.zeros((n, d), jnp.int8)
-    r_s = jnp.zeros((n, 1), jnp.float32)
-    vecs.delete()
-    assert chunk == GEN_BLOCK
-    for bi, c0 in enumerate(range(0, n, chunk)):
-        rv, rs = resid_chunk(blk_fn(jnp.int32(bi)),
-                             v_i8[c0:c0 + chunk], v_s[c0:c0 + chunk])
-        r_i8 = fill(r_i8, rv, jnp.int32(c0))
-        r_s = fill(r_s, rs, jnp.int32(c0))
-    np.asarray(r_s[0])
-    log(f"residual quantize (base deleted): {time.perf_counter()-t0:.1f}s")
+        R = 128  # FlatIndex rerank_depth default
+        rows = {"rerank_depth": R}
+        for b in BATCHES:
+            q = queries[:b]
+            e2e, devt = time_search(
+                lambda q=q: int8_scan_rerank_topk(
+                    q, v_i8, v_s, r_i8, r_s, jnp.int32(n), k=K, r=R, bn=bn)
+            )
+            rows[b] = {"e2e_ms": round(e2e * 1e3, 2),
+                       "dev_ms": round(devt * 1e3, 2), "qps": round(b / devt)}
+        _, i = int8_scan_rerank_topk(gate_q, v_i8, v_s, r_i8, r_s,
+                                     jnp.int32(n), k=K, r=R, bn=bn)
+        ids_np = np.asarray(i)
 
-    R = 128  # FlatIndex rerank_depth default
-    rows = {"rerank_depth": R}
-    for b in BATCHES:
-        q = queries[:b]
-        e2e, devt = time_search(
-            lambda q=q: int8_scan_rerank_topk(
-                q, v_i8, v_s, r_i8, r_s, jnp.int32(n), k=K, r=R, bn=bn)
-        )
-        rows[b] = {"e2e_ms": round(e2e * 1e3, 2),
-                   "dev_ms": round(devt * 1e3, 2), "qps": round(b / devt)}
-    _, i = int8_scan_rerank_topk(gate_q, v_i8, v_s, r_i8, r_s,
-                                 jnp.int32(n), k=K, r=R, bn=bn)
-    ids_np = np.asarray(i)
+        # Blockwise exact scoring against the regenerated base.
+        @jax.jit
+        def score_block(v_blk, q, ids, c0):
+            local = ids - c0
+            inside = (local >= 0) & (local < v_blk.shape[0])
+            cand = v_blk[jnp.clip(local, 0, v_blk.shape[0] - 1)] \
+                .astype(jnp.float32)
+            s = jnp.einsum("bd,bkd->bk", q.astype(jnp.float32), cand,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            return jnp.where(inside & (ids >= 0), s, -jnp.inf)
 
-    # Blockwise exact scoring against the regenerated base.
-    @jax.jit
-    def score_block(v_blk, q, ids, c0):
-        local = ids - c0
-        inside = (local >= 0) & (local < v_blk.shape[0])
-        cand = v_blk[jnp.clip(local, 0, v_blk.shape[0] - 1)].astype(jnp.float32)
-        s = jnp.einsum("bd,bkd->bk", q.astype(jnp.float32), cand,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        return jnp.where(inside & (ids >= 0), s, -jnp.inf)
+        got = np.full(ids_np.shape, -np.inf, np.float32)
+        for bi, c0 in enumerate(range(0, n, chunk)):
+            s = np.asarray(score_block(blk_fn(jnp.int32(bi)), gate_q,
+                                       jnp.asarray(ids_np), jnp.int32(c0)))
+            got = np.maximum(got, s)
+        rows["recall"] = round(eps_recall(ref_s, got), 4)
+        out["int8_rerank"] = rows
+        log(f"int8_rerank: {json.dumps(rows)}")
+    except Exception as exc:  # noqa: BLE001 — recorded, run continues
+        out["int8_rerank"] = {"error": f"{type(exc).__name__}: {exc}"}
+        log(f"int8_rerank FAILED: {exc}")
 
-    got = np.full(ids_np.shape, -np.inf, np.float32)
-    for bi, c0 in enumerate(range(0, n, chunk)):
-        s = np.asarray(score_block(blk_fn(jnp.int32(bi)), gate_q,
-                                   jnp.asarray(ids_np), jnp.int32(c0)))
-        got = np.maximum(got, s)
-    rows["recall"] = round(eps_recall(ref_s, got), 4)
-    out["int8_rerank"] = rows
-    log(f"int8_rerank: {json.dumps(rows)}")
-
-    r_i8.delete()
-    r_s.delete()
-    v_i8.delete()
-    v_s.delete()
-    # Regenerate the base for the phases below (IVF).
+    for buf in (r_i8, r_s, v_i8, v_s):
+        try:
+            if buf is not None:
+                buf.delete()
+        except Exception:
+            pass
+    # Regenerate the base for the phases below (IVF) — the rerank phase
+    # deleted it to fit the residual plane.
     if with_ivf:
         vecs = gen_device_bf16(jax.random.PRNGKey(11), n, d)
         np.asarray(vecs[0, 0])
@@ -347,7 +355,11 @@ if __name__ == "__main__":
         n = m * 1_048_576
         # IVF's extra ~1.25x cluster copy next to the bf16 base only fits
         # through 2M on one chip.
-        results[str(n)] = run_scale(n, with_ivf=(m <= 2))
+        try:
+            results[str(n)] = run_scale(n, with_ivf=(m <= 2))
+        except Exception as exc:  # noqa: BLE001 — keep the other scales
+            results[str(n)] = {"error": f"{type(exc).__name__}: {exc}"}
+            log(f"scale {n} FAILED: {exc}")
         data = {}
         if os.path.exists(RESULTS):
             with open(RESULTS) as f:
