@@ -41,7 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sqe_tpu.config import HNSWConfig
 from sqe_tpu.data.corpus import Chunk
 from sqe_tpu.index import hnsw_build
-from sqe_tpu.index.flat import flat_topk
+from sqe_tpu.index.flat import flat_topk, int8_rerank_topk, int8_scan_rerank_topk
 from sqe_tpu.ops.fused_scan import fused_scan_topk, pick_bn
 from sqe_tpu.index.hnsw import hnsw_search_batch
 from sqe_tpu.ops.distance import l2_normalize
@@ -69,6 +69,20 @@ def _pow2_at_least(n: int, floor: int = 8) -> int:
 def _normalize(emb: np.ndarray) -> np.ndarray:
     emb = np.asarray(emb, dtype=np.float32)
     return emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
+
+
+def _quantize2_np(emb: np.ndarray):
+    """Host mirror of ops/fused_scan.quantize_rows applied twice: symmetric
+    per-row int8 primary plus an int8 residual plane over the reconstruction
+    error (x ~= p*ps + r*rs — the int8_rerank storage, DESIGN.md §8d).
+    Same arithmetic as the device version (round-half-even), so sharded
+    int8 storage ranks identically to FlatIndex int8 storage."""
+    s = np.maximum(np.abs(emb).max(axis=1, keepdims=True) / 127.0, 1e-12)
+    p = np.clip(np.rint(emb / s), -127, 127).astype(np.int8)
+    err = emb - p.astype(np.float32) * s
+    rs = np.maximum(np.abs(err).max(axis=1, keepdims=True) / 127.0, 1e-12)
+    r = np.clip(np.rint(err / rs), -127, 127).astype(np.int8)
+    return p, s.astype(np.float32), r, rs.astype(np.float32)
 
 
 class _HostRows:
@@ -114,12 +128,23 @@ class ShardedFlatIndex:
         approx_topk: bool = False,
         vector_dtype: Any = jnp.float32,
         scan_impl: str = "auto",
+        storage: str = "dense",
+        rerank_depth: int = 128,
     ):
         """``vector_dtype=jnp.bfloat16`` + ``scan_impl="auto"`` runs each
         shard's scan through the fused Pallas kernel on TPU (DESIGN.md §2b);
         the all_gather merge is unchanged. CPU meshes always use the blocked
-        scan (bit-equivalence gate, tests/test_sharded.py)."""
+        scan (bit-equivalence gate, tests/test_sharded.py).
+
+        ``storage="int8_rerank"`` composes the mesh with the int8 +
+        exact-residual-rerank storage (DESIGN.md §8d): each shard holds an
+        int8 primary plane plus an int8 residual plane (2 bytes/dim — bf16
+        memory parity, bf16-class recall), searched per shard with the fused
+        int8 scan -> top-``rerank_depth`` -> residual rerank, merged across
+        shards exactly like dense storage. This is the beyond-HBM
+        composition: ~8M rows/chip/plane at 1024-d times the mesh width."""
         assert scan_impl in ("auto", "blocked")
+        assert storage in ("dense", "int8_rerank")
         self.mesh = mesh
         self.axis = axis
         self.embed_dim = embed_dim
@@ -127,9 +152,16 @@ class ShardedFlatIndex:
         self.approx_topk = approx_topk
         self.vector_dtype = vector_dtype
         self.scan_impl = scan_impl
+        self.storage = storage
+        self.rerank_depth = rerank_depth
         self.n_shards = mesh.shape[axis]
         self.metas: List[Dict[str, Any]] = []
         self._vectors: Optional[jax.Array] = None  # [ns*S, D] sharded
+        # int8_rerank planes (None for dense storage): per-row scales for
+        # the primary plane, plus the residual plane and its scales.
+        self._scales: Optional[jax.Array] = None    # [ns*S, 1] f32 sharded
+        self._residual: Optional[jax.Array] = None  # [ns*S, D] int8 sharded
+        self._rscales: Optional[jax.Array] = None   # [ns*S, 1] f32 sharded
         self._gids: Optional[jax.Array] = None     # [ns*S] int32 sharded
         self._counts_dev: Optional[jax.Array] = None  # [ns] int32 sharded
         self._counts = np.zeros(self.n_shards, np.int64)
@@ -169,9 +201,22 @@ class ShardedFlatIndex:
         with self.lock:
             vsh = NamedSharding(self.mesh, P(self.axis, None))
             ssh = NamedSharding(self.mesh, P(self.axis))
-            self._vectors = jax.device_put(
-                jnp.asarray(padded, dtype=self.vector_dtype), vsh
-            )
+            if self.storage == "int8_rerank":
+                # Quantize REAL rows only, then pad: a zero pad row would
+                # otherwise get a garbage scale from the epsilon floor.
+                p, ps, r, rs = _quantize2_np(emb)
+                self._vectors = jax.device_put(
+                    jnp.asarray(_pad_to(p, ns * cap)), vsh)
+                self._scales = jax.device_put(
+                    jnp.asarray(_pad_to(ps, ns * cap)), vsh)
+                self._residual = jax.device_put(
+                    jnp.asarray(_pad_to(r, ns * cap)), vsh)
+                self._rscales = jax.device_put(
+                    jnp.asarray(_pad_to(rs, ns * cap)), vsh)
+            else:
+                self._vectors = jax.device_put(
+                    jnp.asarray(padded, dtype=self.vector_dtype), vsh
+                )
             self._gids = jax.device_put(jnp.asarray(gids), ssh)
             self._counts_dev = jax.device_put(
                 jnp.asarray(counts, dtype=jnp.int32), ssh
@@ -212,6 +257,39 @@ class ShardedFlatIndex:
             check_vma=False,
         )
         return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+    def _make_insert_q(self, b: int):
+        """int8_rerank-storage insert: the same slot scatter applied to all
+        four quantized planes (primary/scales/residual/rscales) in one
+        donated device program."""
+        cap = self._cap
+        axis = self.axis
+
+        def local(p, ps, r_, rs, gids, counts,
+                  up, ups, ur, urs, upd_gids, n_upd):
+            cnt = counts[0]
+            k_new = n_upd[0]
+            rows = cnt + jax.lax.iota(jnp.int32, b)
+            rows = jnp.where(jax.lax.iota(jnp.int32, b) < k_new, rows, cap)
+            p = p.at[rows].set(up, mode="drop")
+            ps = ps.at[rows].set(ups, mode="drop")
+            r_ = r_.at[rows].set(ur, mode="drop")
+            rs = rs.at[rows].set(urs, mode="drop")
+            gids = gids.at[rows].set(upd_gids, mode="drop")
+            return p, ps, r_, rs, gids, counts + k_new
+
+        fn = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                      P(axis, None), P(axis), P(axis),
+                      P(axis, None), P(axis, None), P(axis, None),
+                      P(axis, None), P(axis), P(axis)),
+            out_specs=(P(axis, None), P(axis, None), P(axis, None),
+                       P(axis, None), P(axis), P(axis)),
+            check_vma=False,
+        )
+        return jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4, 5))
 
     def add(self, embeddings: np.ndarray, metas: Sequence[Dict[str, Any] | Chunk]):
         """O(new rows) incremental insert: new rows are spread across shards
@@ -262,15 +340,35 @@ class ShardedFlatIndex:
             ssh = NamedSharding(self.mesh, P(self.axis))
             fn = self._insert_fn.get(b_pad)
             if fn is None:
-                fn = self._make_insert(b_pad)
+                fn = (self._make_insert_q(b_pad)
+                      if self.storage == "int8_rerank"
+                      else self._make_insert(b_pad))
                 self._insert_fn[b_pad] = fn
-            self._vectors, self._gids, self._counts_dev = fn(
-                self._vectors, self._gids, self._counts_dev,
-                jax.device_put(jnp.asarray(upd.reshape(-1, self.embed_dim),
-                           dtype=self.vector_dtype), vsh),
-                jax.device_put(jnp.asarray(upd_g.reshape(-1)), ssh),
-                jax.device_put(jnp.asarray(quota, dtype=jnp.int32), ssh),
-            )
+            upd_flat = upd.reshape(-1, self.embed_dim)
+            if self.storage == "int8_rerank":
+                # Quantization is per-row, so quantizing the padded update
+                # block is placement-independent; pad rows are zero with a
+                # floor scale and land beyond the shard quota (dropped).
+                up, ups, ur, urs = _quantize2_np(upd_flat)
+                (self._vectors, self._scales, self._residual, self._rscales,
+                 self._gids, self._counts_dev) = fn(
+                    self._vectors, self._scales, self._residual,
+                    self._rscales, self._gids, self._counts_dev,
+                    jax.device_put(jnp.asarray(up), vsh),
+                    jax.device_put(jnp.asarray(ups), vsh),
+                    jax.device_put(jnp.asarray(ur), vsh),
+                    jax.device_put(jnp.asarray(urs), vsh),
+                    jax.device_put(jnp.asarray(upd_g.reshape(-1)), ssh),
+                    jax.device_put(jnp.asarray(quota, dtype=jnp.int32), ssh),
+                )
+            else:
+                self._vectors, self._gids, self._counts_dev = fn(
+                    self._vectors, self._gids, self._counts_dev,
+                    jax.device_put(jnp.asarray(upd_flat,
+                               dtype=self.vector_dtype), vsh),
+                    jax.device_put(jnp.asarray(upd_g.reshape(-1)), ssh),
+                    jax.device_put(jnp.asarray(quota, dtype=jnp.int32), ssh),
+                )
             self._counts = self._counts + quota
             self._n += b_total
             self._host.append(emb)
@@ -286,12 +384,71 @@ class ShardedFlatIndex:
         axis = self.axis
         block = min(self.block_n, cap)
 
+        on_tpu = jax.default_backend() == "tpu"
         use_fused = (
             self.scan_impl == "auto"
             and jnp.dtype(self.vector_dtype) == jnp.bfloat16
-            and jax.default_backend() == "tpu"
+            and self.storage == "dense"
+            and on_tpu
             and pick_bn(cap) and cap // 128 >= 16 * k
         )
+        # int8_rerank: fused int8 scan selects the per-shard candidate pool;
+        # clamp its depth so the bin-top-1 selection keeps >= 8x bin margin
+        # per shard (the rerank stage then restores exact ordering).
+        use_fused_int8 = (
+            self.storage == "int8_rerank"
+            and self.scan_impl == "auto"
+            and on_tpu
+            and pick_bn(cap) and cap // 128 >= 16 * k
+        )
+        r_depth = max(k, min(self.rerank_depth, cap))
+        if use_fused_int8:
+            r_depth = max(k, min(r_depth, (cap // 128) // 8))
+
+        def _merge(scores, ids, gids):
+            g = jnp.where(ids >= 0, jnp.take(gids, jnp.maximum(ids, 0)), -1)
+            scores = jnp.where(g >= 0, scores, -jnp.inf)
+            all_s = jax.lax.all_gather(scores, axis, axis=1, tiled=True)
+            all_i = jax.lax.all_gather(g, axis, axis=1, tiled=True)
+            ms, sel = jax.lax.top_k(all_s, k)
+            mi = jnp.take_along_axis(all_i, sel, axis=1)
+            return ms, mi
+
+        if self.storage == "int8_rerank":
+
+            def local_q(q, p, ps, r_, rs, gids, counts):
+                valid_local = counts[0]
+                if use_fused_int8:
+                    # One fused program per shard: int8 scan -> top-r_depth
+                    # -> exact residual rerank (DESIGN.md §8d).
+                    scores, ids = int8_scan_rerank_topk(
+                        q, p, ps, r_, rs, valid_local,
+                        k=k, r=r_depth, bn=pick_bn(cap),
+                    )
+                else:
+                    # XLA fallback (CPU meshes / tiny shards): coarse scan
+                    # over the dequantized primary plane, then the same
+                    # residual rerank in XLA — identical arithmetic to the
+                    # kernel path.
+                    coarse = p.astype(jnp.float32) * ps
+                    _, ci = flat_topk(q, coarse, valid_local, k=r_depth,
+                                      block_n=block, exact=False,
+                                      approx_topk=self.approx_topk)
+                    scores, ids = int8_rerank_topk(
+                        q, ci, p, ps, r_, rs, k=k, use_kernel=False,
+                    )
+                return _merge(scores, ids, gids)
+
+            fn = jax.shard_map(
+                local_q,
+                mesh=self.mesh,
+                in_specs=(P(), P(self.axis, None), P(self.axis, None),
+                          P(self.axis, None), P(self.axis, None),
+                          P(self.axis), P(self.axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            return jax.jit(fn)
 
         def local(q, vecs, gids, counts):
             valid_local = counts[0]
@@ -305,13 +462,7 @@ class ShardedFlatIndex:
                 scores, ids = flat_topk(q, vecs, valid_local, k=k,
                                         block_n=block, exact=False,
                                         approx_topk=self.approx_topk)
-            g = jnp.where(ids >= 0, jnp.take(gids, jnp.maximum(ids, 0)), -1)
-            scores = jnp.where(g >= 0, scores, -jnp.inf)
-            all_s = jax.lax.all_gather(scores, axis, axis=1, tiled=True)
-            all_i = jax.lax.all_gather(g, axis, axis=1, tiled=True)
-            ms, sel = jax.lax.top_k(all_s, k)
-            mi = jnp.take_along_axis(all_i, sel, axis=1)
-            return ms, mi
+            return _merge(scores, ids, gids)
 
         fn = jax.shard_map(
             local,
@@ -333,9 +484,15 @@ class ShardedFlatIndex:
             if self._search_fn is None or self._search_fn[0] != (k_eff, self._cap):
                 self._search_fn = ((k_eff, self._cap), self._make_search(k_eff))
             q = jax.device_put(q, NamedSharding(self.mesh, P()))
-            scores, ids = self._search_fn[1](
-                q, self._vectors, self._gids, self._counts_dev
-            )
+            if self.storage == "int8_rerank":
+                scores, ids = self._search_fn[1](
+                    q, self._vectors, self._scales, self._residual,
+                    self._rscales, self._gids, self._counts_dev
+                )
+            else:
+                scores, ids = self._search_fn[1](
+                    q, self._vectors, self._gids, self._counts_dev
+                )
             dispatch.program("index_scan")
         out = np.asarray(scores)[:, :k], np.asarray(ids)[:, :k]
         dispatch.sync("index_scan")

@@ -103,6 +103,13 @@ class RAGEngine:
                 return ShardedFlatIndex(
                     self.mesh, embed_dim=self.cfg.model.embed_dim,
                     vector_dtype=_jnp.bfloat16 if on_tpu else _jnp.float32,
+                    # int8_vectors composes with the mesh: int8 + residual
+                    # rerank per shard (bf16 memory parity, restored recall;
+                    # int8_rerank=False scan-only capacity mode is a
+                    # single-device option — sharding already IS the
+                    # capacity mode here).
+                    storage=("int8_rerank" if self.cfg.int8_vectors
+                             else "dense"),
                 )
             return ShardedHNSWIndex(
                 self.mesh, self.cfg.hnsw, embed_dim=self.cfg.model.embed_dim

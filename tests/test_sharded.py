@@ -178,3 +178,62 @@ def test_sharded_flat_bf16_dtype(rng, cpu_mesh):
     scores, ids = idx.search_ids(vecs[:4], k)
     assert (ids[:, 0] == np.arange(4)).all()      # self-match survives bf16
     assert (scores[:, 0] > 0.99).all()
+
+
+def test_sharded_int8_rerank_matches_exact_oracle(data, cpu_mesh, cpu_device):
+    """storage="int8_rerank" (mesh x quantized planes, DESIGN.md §8d):
+    the residual rerank restores exact-class ordering, so the sharded
+    int8 search must match the f32 exact scan's top-k on clustered data
+    (reconstruction error ~1e-8 on the cosine — far below the data's
+    score gaps)."""
+    vecs, queries, metas = data
+    flat = FlatIndex(embed_dim=64, block_n=1024, device=cpu_device)
+    flat.add(vecs, metas)
+    ref_s, ref_i = flat.search_ids(queries, 10)
+
+    idx = ShardedFlatIndex(cpu_mesh, embed_dim=64, block_n=512,
+                           storage="int8_rerank")
+    idx.build(vecs, metas)
+    assert idx._vectors.dtype == np.int8
+    assert idx._residual is not None
+    s, i = idx.search_ids(queries, 10)
+    assert _recall(i, ref_i) >= 0.99
+    np.testing.assert_allclose(np.sort(s, 1), np.sort(ref_s, 1), atol=1e-4)
+
+
+def test_sharded_int8_rerank_incremental_add_parity(data, cpu_mesh):
+    """Quantization is per-row, so incremental adds must produce the same
+    planes — and therefore bit-identical search results — as one bulk
+    build."""
+    vecs, queries, metas = data
+    bulk = ShardedFlatIndex(cpu_mesh, embed_dim=64, block_n=512,
+                            storage="int8_rerank")
+    bulk.build(vecs, metas)
+    ref_s, ref_i = bulk.search_ids(queries, 10)
+
+    inc = ShardedFlatIndex(cpu_mesh, embed_dim=64, block_n=512,
+                           storage="int8_rerank")
+    n0 = 3000
+    inc.build(vecs[:n0], metas[:n0])
+    for lo in range(n0, len(vecs), 257):
+        hi = min(lo + 257, len(vecs))
+        inc.add(vecs[lo:hi], metas[lo:hi])
+    assert len(inc) == len(vecs)
+    s, i = inc.search_ids(queries, 10)
+    np.testing.assert_array_equal(np.sort(i, 1), np.sort(ref_i, 1))
+    np.testing.assert_allclose(np.sort(s, 1), np.sort(ref_s, 1), atol=1e-6)
+    res = inc.search(vecs[n0 + 5 : n0 + 6], k=1)
+    assert res[0][0]["doc_id"] == f"d{n0 + 5}"
+
+
+def test_sharded_int8_rerank_growth_rebuild(data, cpu_mesh):
+    """Overflowing a shard's capacity rebuilds from the host f32 mirror and
+    re-quantizes — every id stays retrievable."""
+    vecs, _, metas = data
+    idx = ShardedFlatIndex(cpu_mesh, embed_dim=64, block_n=128,
+                           storage="int8_rerank")
+    idx.build(vecs[:64], metas[:64])        # cap = 8/shard
+    idx.add(vecs[64:1024], metas[64:1024])  # forces growth
+    assert len(idx) == 1024
+    res = idx.search(vecs[500:501], k=1)
+    assert res[0][0]["doc_id"] == "d500"
