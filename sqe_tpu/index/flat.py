@@ -29,6 +29,10 @@ from sqe_tpu.ops.fused_scan import (
     fused_scan_topk_int8,
     pick_bn,
 )
+from sqe_tpu.ops.fused_scan2 import (
+    fused_scan2_topk,
+    fused_scan2_topk_int8,
+)
 from sqe_tpu.ops.gather_dot import gather_dot
 from sqe_tpu.utils import dispatch
 
@@ -87,7 +91,8 @@ def int8_rerank_topk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "r", "bn", "use_kernel", "interpret")
+    jax.jit,
+    static_argnames=("k", "r", "bn", "use_kernel", "interpret", "scan2"),
 )
 def int8_scan_rerank_topk(
     queries: jax.Array,
@@ -102,13 +107,21 @@ def int8_scan_rerank_topk(
     bn: int,
     use_kernel: bool = True,
     interpret: bool = False,
+    scan2: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One device program: int8 fused scan -> top-r candidates -> exact
     residual rerank -> top-k. The int8 engine's recall-restoring serving
-    path (VERDICT r02 #2)."""
-    _, cand_i = fused_scan_topk_int8(
-        queries, primary, pscales, valid_n, k=r, bn=bn, interpret=interpret
-    )
+    path (VERDICT r02 #2). ``scan2`` selects the v2 column-max kernel
+    (ops/fused_scan2.py) for the candidate stage."""
+    if scan2:
+        _, cand_i = fused_scan2_topk_int8(
+            queries, primary, pscales, valid_n, k=r, interpret=interpret
+        )
+    else:
+        _, cand_i = fused_scan_topk_int8(
+            queries, primary, pscales, valid_n, k=r, bn=bn,
+            interpret=interpret
+        )
     return int8_rerank_topk(
         queries, cand_i, primary, pscales, residual, rscales,
         k=k, use_kernel=use_kernel, interpret=interpret,
@@ -218,7 +231,9 @@ class FlatIndex:
         ``scan_impl`` selects the serving scan for ``exact=False``:
         ``"fused"`` = the Pallas fused matmul+bin-top-1 kernel
         (ops/fused_scan.py — never writes scores to HBM; the fastest path,
-        measured at the raw-matmul bound, DESIGN.md §8), ``"blocked"`` = the
+        measured at the raw-matmul bound, DESIGN.md §8), ``"fused2"`` = the
+        v2 column-max-accumulation kernel (ops/fused_scan2.py — no
+        cross-lane work in the hot loop; ROADMAP #0), ``"blocked"`` = the
         XLA blocked scan, ``"auto"`` = fused on TPU when shapes allow, else
         blocked. The oracle mode always uses the blocked exact scan.
 
@@ -234,7 +249,7 @@ class FlatIndex:
         for capacity-bound deployments that accept its measured recall.
         CPU/non-fused searches dequantize and use the blocked scan.
         Incompatible with ``exact=True``."""
-        assert scan_impl in ("auto", "fused", "blocked")
+        assert scan_impl in ("auto", "fused", "fused2", "blocked")
         self.embed_dim = embed_dim
         self.block_n = block_n
         self.dtype = dtype
@@ -416,20 +431,23 @@ class FlatIndex:
 
     def scan_plan(self, k_eff: int) -> Tuple[str, int]:
         """The scorer this index would use for a k_eff search: (scan,
-        block_n) with scan in {"int8_rerank", "int8", "fused", "dequant",
-        "blocked"}. Single source of truth shared by search_ids and the
-        fused serving frontend (serving/pipeline.py) so both rank
-        identically."""
+        block_n) with scan in {"int8_rerank", "int8_rerank2", "int8",
+        "int8_2", "fused", "fused2", "dequant", "blocked"}. Single source
+        of truth shared by search_ids and the fused serving frontend
+        (serving/pipeline.py) so both rank identically."""
         length = self._vectors.shape[0]
         block = min(self.block_n, length)
         if length % block:
             # Capacity grows in powers of two; fall back to the largest
             # power-of-two block that divides it.
             block = 1 << (min(self.block_n, length).bit_length() - 1)
+        v2 = self.scan_impl == "fused2"
         if self._int8 and self._use_fused(length, k_eff):
-            return ("int8_rerank" if self.rerank else "int8"), block
+            if self.rerank:
+                return ("int8_rerank2" if v2 else "int8_rerank"), block
+            return ("int8_2" if v2 else "int8"), block
         if self._use_fused(length, k_eff):
-            return "fused", block
+            return ("fused2" if v2 else "fused"), block
         if self._int8:
             # Non-fused int8 fallback (CPU tests / tiny indices): dequantize
             # (with the residual plane when present — near-exact) and run
@@ -450,21 +468,31 @@ class FlatIndex:
             k_eff = min(k, self._n)
             length = self._vectors.shape[0]
             scan, block = self.scan_plan(k_eff)
-            if scan == "int8_rerank":
+            if scan in ("int8_rerank", "int8_rerank2"):
                 scores, ids = int8_scan_rerank_topk(
                     q, self._vectors, self._scales,
                     self._residual, self._rscales, jnp.int32(self._n),
                     k=k_eff, r=self._rerank_r(k_eff), bn=pick_bn(length),
+                    scan2=scan.endswith("2"),
                 )
             elif scan == "int8":
                 scores, ids = fused_scan_topk_int8(
                     q, self._vectors, self._scales, jnp.int32(self._n),
                     k=k_eff, bn=pick_bn(length),
                 )
+            elif scan == "int8_2":
+                scores, ids = fused_scan2_topk_int8(
+                    q, self._vectors, self._scales, jnp.int32(self._n),
+                    k=k_eff,
+                )
             elif scan == "fused":
                 scores, ids = fused_scan_topk(
                     q, self._vectors, jnp.int32(self._n), k=k_eff,
                     bn=pick_bn(length),
+                )
+            elif scan == "fused2":
+                scores, ids = fused_scan2_topk(
+                    q, self._vectors, jnp.int32(self._n), k=k_eff,
                 )
             elif scan == "dequant":
                 if self.rerank:

@@ -130,7 +130,8 @@ def retrieval_program_flat(
     Pallas kernel), "int8" (int8 kernel, scales applied in-VMEM),
     "dequant" (int8 storage below the fused kernel's shape floor:
     dequantize + blocked scan — with the residual plane when present),
-    "blocked" (XLA blocked scan).
+    "blocked" (XLA blocked scan). The "2"-suffixed variants use the v2
+    column-max kernels (ops/fused_scan2.py).
     """
     from sqe_tpu.index.flat import (
         _dequantize2,
@@ -142,6 +143,10 @@ def retrieval_program_flat(
         fused_scan_topk_int8,
         pick_bn,
     )
+    from sqe_tpu.ops.fused_scan2 import (
+        fused_scan2_topk,
+        fused_scan2_topk_int8,
+    )
 
     emb = embed_forward(params, ids, mask, cfg=cfg, attn_impl=attn_impl)
     sims = jax.lax.dot_general(
@@ -151,19 +156,26 @@ def retrieval_program_flat(
     sims = jnp.where(cache_valid[None, :], sims, -jnp.inf)
     slot = jnp.argmax(sims, axis=1).astype(jnp.int32)
     hit = jnp.max(sims, axis=1) >= cache_threshold
-    if scan == "int8_rerank":
+    if scan in ("int8_rerank", "int8_rerank2"):
         scores, out_ids = int8_scan_rerank_topk(
             emb, vectors, scales, residual, rscales, valid_n,
             k=k, r=rerank_r, bn=pick_bn(vectors.shape[0]),
+            scan2=scan.endswith("2"),
         )
     elif scan == "int8":
         scores, out_ids = fused_scan_topk_int8(
             emb, vectors, scales, valid_n, k=k, bn=pick_bn(vectors.shape[0])
         )
+    elif scan == "int8_2":
+        scores, out_ids = fused_scan2_topk_int8(
+            emb, vectors, scales, valid_n, k=k
+        )
     elif scan == "fused":
         scores, out_ids = fused_scan_topk(
             emb, vectors, valid_n, k=k, bn=pick_bn(vectors.shape[0])
         )
+    elif scan == "fused2":
+        scores, out_ids = fused_scan2_topk(emb, vectors, valid_n, k=k)
     elif scan == "dequant":
         if residual is not None:
             deq = _dequantize2(vectors, scales, residual, rscales)
@@ -243,8 +255,8 @@ class FusedFrontend:
                     block_n=block,
                     exact=idx.exact,
                     scan=scan,
-                    rerank_r=idx._rerank_r(k_eff) if scan == "int8_rerank"
-                    else 0,
+                    rerank_r=idx._rerank_r(k_eff)
+                    if scan.startswith("int8_rerank") else 0,
                 )
         else:
             from sqe_tpu.index.hnsw import plan_fused_gather

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from sqe_tpu.index import FlatIndex
 
@@ -175,10 +176,12 @@ def test_int8_rerank_topk_orders_candidates_exactly(rng):
         )
 
 
-def test_int8_scan_rerank_recall_gate(rng, make_clustered):
+@pytest.mark.parametrize("scan2", [False, True])
+def test_int8_scan_rerank_recall_gate(rng, make_clustered, scan2):
     """Full int8 scan -> rerank path (interpret mode): recall@10 vs the
     exact oracle must clear the >=0.95 gate and dominate scan-only int8 —
-    the VERDICT r02 #2 contract, CPU-shaped."""
+    the VERDICT r02 #2 contract, CPU-shaped. Both candidate kernels (v1
+    bin-top-1, v2 column-max) must clear it."""
     import jax.numpy as jnp
 
     from sqe_tpu.index.flat import int8_scan_rerank_topk
@@ -195,7 +198,7 @@ def test_int8_scan_rerank_recall_gate(rng, make_clustered):
     ms, mi = int8_scan_rerank_topk(
         jnp.asarray(q), jnp.asarray(p), jnp.asarray(ps2), jnp.asarray(res),
         jnp.asarray(rs2), jnp.int32(n), k=k, r=r, bn=512,
-        use_kernel=False, interpret=True,
+        use_kernel=False, interpret=True, scan2=scan2,
     )
     _, only_i = fused_scan_topk_int8(
         jnp.asarray(q), jnp.asarray(p), jnp.asarray(ps2), jnp.int32(n),
