@@ -20,6 +20,9 @@ Three engines are measured; the fastest recall-gated one is the headline:
   regimes where it wins (tiny-batch latency, very large N). Best-effort
   diagnostic — its device graph build depends on a remote compile service
   with minutes-scale variance, so the headline never waits on it.
+- **fused-scan v2** (ops/fused_scan2.py, bf16 + int8): column-max
+  accumulation with selection deferred to one XLA top-k; time-guarded
+  diagnostic rows that join the headline candidates when they pass the gate.
 
 Every engine is gated at epsilon-recall@10 >= 0.95 against the
 Precision.HIGHEST exact oracle (epsilon-recall: a returned id counts if its
@@ -252,6 +255,50 @@ def main():
         hnsw_status = "skipped: time budget"
         log("hnsw diagnostic skipped (time budget)")
 
+    # Fused-scan v2 (ops/fused_scan2.py): column-max accumulation — no
+    # cross-lane work in the corpus loop, selection deferred to one XLA
+    # top-k over a [B, 2048] accumulator. Measured last (after the pinned
+    # HNSW row) under its own time guard so a slow remote compile can never
+    # displace the always-recorded rows; shares vecs_fused/v_i8/v_s.
+    v2 = {}
+    if time.perf_counter() - start < 700:
+        from sqe_tpu.ops.fused_scan2 import (
+            fused_scan2_topk,
+            fused_scan2_topk_int8,
+        )
+
+        def v2_config(tag, fn):
+            try:
+                _s, ids2 = fn(q_dev)
+                r = float(epsilon_recall(vecs, queries, np.asarray(ids2),
+                                         ref_scores, k))
+                log(f"{tag} epsilon-recall@{k}: {r:.4f}")
+                qps = timed_windows(lambda: fn(q_dev), tag)
+                qps4 = 4 * timed_windows(
+                    lambda: fn(q4_dev), f"{tag} B=4096 (per-1024 share x4)"
+                )
+                v2[tag] = {"qps": round(qps, 1), "qps_b4096": round(qps4, 1),
+                           "recall": round(r, 4)}
+                if r >= 0.95:
+                    candidates_v2.append(
+                        (qps, f"{tag}_qps_100k_1024d_recall{r:.3f}"))
+                    candidates_v2.append(
+                        (qps4, f"{tag}_qps_100k_1024d_B4096_recall{r:.3f}"))
+            except Exception as exc:  # noqa: BLE001 — diagnostic row only
+                v2[tag] = f"failed: {exc}"
+                log(f"{tag} FAILED: {exc}")
+
+        candidates_v2 = []
+        v2_config("fused2_scan",
+                  lambda q: fused_scan2_topk(q, vecs_fused, jnp.int32(n), k=k))
+        v2_config("int8_2_scan",
+                  lambda q: fused_scan2_topk_int8(q, v_i8, v_s, jnp.int32(n),
+                                                  k=k))
+    else:
+        candidates_v2 = []
+        v2 = "skipped: time budget"
+        log("fused-scan v2 diagnostic skipped (time budget)")
+
     # Headline: fastest engine that passes the recall gate.
     candidates = []
     if flat_recall >= 0.95:
@@ -287,6 +334,7 @@ def main():
         candidates.append(
             (hnsw_qps, f"hnsw_qps_100k_1024d_recall{hnsw_recall:.3f}")
         )
+    candidates += candidates_v2
     value, metric = max(candidates) if candidates else (0.0, "no_path_passed_gate")
     print(json.dumps({
         "metric": metric,
@@ -295,6 +343,7 @@ def main():
         "vs_baseline": round(value / 6250.0, 3),
         "hnsw": ({"qps": round(hnsw_qps, 1), "recall": round(hnsw_recall, 4)}
                  if hnsw_status == "ok" else hnsw_status),
+        "fused2": v2,
     }))
 
 
