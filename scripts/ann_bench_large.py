@@ -145,7 +145,7 @@ def run_scale(n, d=1024, with_ivf=True):
     import jax
     import jax.numpy as jnp
 
-    from sqe_tpu.index.flat import flat_topk
+    from sqe_tpu.index.flat import flat_topk, int8_scan_rerank_topk
     from sqe_tpu.index.ivf import IVFIndex, ivf_search
     from sqe_tpu.ops.fused_scan import (
         fused_scan_topk, fused_scan_topk_int8, pick_bn, quantize_rows,

@@ -16,8 +16,11 @@ Usage: python scripts/fused_scan2_bench.py [N_millions ...]  (default: 0.1 1 2)
 
 import functools
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
