@@ -63,13 +63,29 @@ def int8_rerank_topk(
     n, d = primary.shape
     ids = jnp.maximum(cand_i, 0)
     qf = queries.astype(jnp.float32)
-    if use_kernel:
+    if use_kernel and n % 8 == 0:
         # The kernel casts gathered int8 rows to f32 in VMEM and dots with
         # the f32 query block — same arithmetic as the XLA path below.
-        s1 = gather_dot(primary.reshape(n, 1, d), ids, qf,
-                        interpret=interpret)               # [B, R]
-        s2 = gather_dot(residual.reshape(n, 1, d), ids, qf,
-                        interpret=interpret)
+        # Mosaic tiles int8 memrefs at (8,128) sublanes x lanes (with 4-way
+        # sublane packing), so an [N, 1, D] layout cannot be sliced one row
+        # at a time and VMEM slices along the row dim must be multiples of
+        # 8. Gather tile-aligned GROUPS of 8 rows ([N/8, 8, D], group id =
+        # id // 8) and select the wanted row's similarity after the kernel.
+        # 8x the gather bytes, but rerank traffic is independent of N and
+        # an 8 KB group DMA runs near the DMA engine's peak where the 1 KB
+        # single row would not; measured cost at B=1024/R=128 is ~2 GB
+        # (~3 ms), amortized away by the scan at multi-million N.
+        g = 8
+        sub = (ids % g)[..., None]
+
+        def grouped(plane):
+            sims = gather_dot(plane.reshape(n // g, g, d), ids // g, qf,
+                              interpret=interpret)         # [B, R*g]
+            sims = sims.reshape(ids.shape[0], ids.shape[1], g)
+            return jnp.take_along_axis(sims, sub, axis=2)[..., 0]
+
+        s1 = grouped(primary)                              # [B, R]
+        s2 = grouped(residual)
     else:
         # XLA fallback (CPU tests): f32 accumulate; gather_dot_reference is
         # unsuitable here — it casts queries to the GATHERED dtype (int8).

@@ -44,10 +44,14 @@ def _gather_dot_kernel(
 
     def dma(i, j):
         parent = ids_ref[step * bq + i, j]
+        # One counting semaphore per query row, shared by its E copies (all
+        # the same [M0, D] shape, so the E waits are symmetric): sflag space
+        # caps semaphore arrays at 512 entries, which BQ*E can exceed for
+        # wide rerank candidate sets (E=128).
         return pltpu.make_async_copy(
             hbm_ref.at[parent],
             buf.at[pl.ds((i * e + j) * m0, m0), :],
-            sems.at[i * e + j],
+            sems.at[i],
         )
 
     for i in range(bq):
@@ -121,7 +125,7 @@ def gather_dot(
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q * em, d), nbr_vecs.dtype),
-            pltpu.SemaphoreType.DMA((block_q * e,)),
+            pltpu.SemaphoreType.DMA((block_q,)),
         ],
     )
     kernel = functools.partial(_gather_dot_kernel, bq=block_q, e=e, m0=m0)

@@ -176,6 +176,33 @@ def test_int8_rerank_topk_orders_candidates_exactly(rng):
         )
 
 
+def test_int8_rerank_topk_kernel_matches_xla_path(rng):
+    """The Pallas kernel path (grouped-4-row int8 gather_dot — Mosaic packs
+    int8 at 4 sublanes, so rows are fetched in tile-aligned groups and the
+    wanted row selected post-kernel) must rank identically to the XLA
+    einsum path."""
+    import jax.numpy as jnp
+
+    from sqe_tpu.index.flat import int8_rerank_topk
+
+    n, d, b, r, k = 256, 128, 4, 24, 8
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    qn = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+    p, ps = FlatIndex._quantize_host(vn)
+    res, rs = FlatIndex._quantize_residual_host(vn, p, ps)
+    cand = rng.choice(n, size=(b, r), replace=False).astype(np.int32)
+    cand[:, -2:] = -1
+
+    args = (jnp.asarray(qn), jnp.asarray(cand), jnp.asarray(p),
+            jnp.asarray(ps), jnp.asarray(res), jnp.asarray(rs))
+    ms_k, mi_k = int8_rerank_topk(*args, k=k, use_kernel=True, interpret=True)
+    ms_x, mi_x = int8_rerank_topk(*args, k=k, use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(mi_k), np.asarray(mi_x))
+    np.testing.assert_allclose(np.asarray(ms_k), np.asarray(ms_x), atol=1e-5)
+
+
 @pytest.mark.parametrize("scan2", [False, True])
 def test_int8_scan_rerank_recall_gate(rng, make_clustered, scan2):
     """Full int8 scan -> rerank path (interpret mode): recall@10 vs the
