@@ -243,9 +243,12 @@ def run_scale(n, d=1024, with_ivf=True):
             err = v.astype(jnp.float32) - p.astype(jnp.float32) * ps
             return quantize_rows(err)
 
+        # Delete the base BEFORE allocating the residual plane: at 4M the
+        # base (8 GB) + int8 plane (4 GB) + residual plane (4 GB) would hit
+        # the 16 GB HBM ceiling exactly and the allocation fails.
+        vecs.delete()
         r_i8 = jnp.zeros((n, d), jnp.int8)
         r_s = jnp.zeros((n, 1), jnp.float32)
-        vecs.delete()
         assert chunk == GEN_BLOCK
         for bi, c0 in enumerate(range(0, n, chunk)):
             rv, rs = resid_chunk(blk_fn(jnp.int32(bi)),
@@ -300,13 +303,28 @@ def run_scale(n, d=1024, with_ivf=True):
         except Exception:
             pass
     # Regenerate the base for the phases below (IVF) — the rerank phase
-    # deleted it to fit the residual plane.
-    if with_ivf:
-        vecs = gen_device_bf16(jax.random.PRNGKey(11), n, d)
-        np.asarray(vecs[0, 0])
+    # deleted it to fit the residual plane. Fault-isolated like the rerank
+    # phase: an OOM here (allocator fragmentation after the delete/regen
+    # cycle has been observed at 2M) must not clobber the measured rows.
+    try:
+        if with_ivf:
+            vecs = gen_device_bf16(jax.random.PRNGKey(11), n, d)
+            np.asarray(vecs[0, 0])
+            _run_ivf(out, vecs, queries, gate_q, ref_s, n)
+    except Exception as exc:  # noqa: BLE001 — recorded, rows survive
+        out["ivf_error"] = f"{type(exc).__name__}: {exc}"
+        log(f"ivf FAILED: {exc}")
+    return out
 
-    if with_ivf:
-        idx = IVFIndex(embed_dim=d, vector_dtype=jnp.bfloat16,
+
+def _run_ivf(out, vecs, queries, gate_q, ref_s, n):
+    import jax
+    import jax.numpy as jnp
+
+    from sqe_tpu.index.ivf import IVFIndex, ivf_search
+
+    if True:
+        idx = IVFIndex(embed_dim=vecs.shape[1], vector_dtype=jnp.bfloat16,
                        kmeans_iters=10, seed=3)
         t0 = time.perf_counter()
         idx.build_from_device(vecs)
