@@ -124,6 +124,65 @@ def main():
     print(f"IN-LOOP blocked approx:  {inloop(op_blocked(True)):.2f} ms",
           flush=True)
 
+    # Raw int8 matmul ceiling (2x MXU rate): the bound the int8 kernels chase.
+    def op_mm_i8(q, v, valid, vi=v_i8):
+        return jax.lax.dot_general(
+            jnp.round(q).astype(jnp.int8), vi, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).sum().astype(jnp.float32)
+
+    print(f"IN-LOOP raw int8 matmul: {inloop(op_mm_i8):.2f} ms", flush=True)
+
+    # v2 (column-max accumulation) rows: selection cost moves from per-tile
+    # cross-lane reductions (v1) to one XLA top_k over [B, C]; at large N the
+    # merge shrinks N/128 -> C. Same-session A/B against the v1 rows above.
+    from sqe_tpu.ops.fused_scan2 import fused_scan2_topk, fused_scan2_topk_int8
+
+    for c, bn_cap in [(2048, 1024), (2048, 2048), (4096, 2048)]:
+        if n % min(bn_cap, n, c):
+            pass
+        def op_v2(q, v, valid, c=c, bn_cap=bn_cap):
+            ms, mi = fused_scan2_topk(q, v, valid, k=10, c=c, bn_cap=bn_cap)
+            return ms.sum() + mi.sum()
+        try:
+            print(f"IN-LOOP fused2 c={c} bn_cap={bn_cap}: "
+                  f"{inloop(op_v2):.2f} ms", flush=True)
+        except Exception as e:
+            print(f"IN-LOOP fused2 c={c} bn_cap={bn_cap}: FAIL {str(e)[:120]}",
+                  flush=True)
+
+    @jax.jit
+    def int8v2_loop(q, vi, vs, valid):
+        def body(i, acc):
+            ms, mi = fused_scan2_topk_int8(q + 1e-6 * i, vi, vs, valid, k=10)
+            return acc + ms.sum() + mi.sum()
+        return jax.lax.fori_loop(0, R, body, 0.0)
+
+    try:
+        np.asarray(int8v2_loop(q_dev, v_i8, v_s, vn))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(int8v2_loop(q_dev, v_i8, v_s, vn))
+            best = min(best, (time.perf_counter() - t0) / R)
+        print(f"IN-LOOP fused2 int8: {best*1e3:.2f} ms", flush=True)
+    except Exception as e:
+        print(f"IN-LOOP fused2 int8: FAIL {str(e)[:120]}", flush=True)
+
+    # Merge-alone for the v1 candidate width at this N (top_k over [B, N/128])
+    # vs the v2 width (top_k over [B, C=2048]): the N-dependent part of v1.
+    for cols, tag in [(n // 128, "v1 width"), (2048, "v2 width")]:
+        cs_m = jnp.asarray(rng.standard_normal((b, cols)), jnp.float32)
+        ci_m = jnp.zeros((b, cols), jnp.int32)
+
+        def op_merge(q, v, valid, cs_m=cs_m, ci_m=ci_m):
+            # q varies per loop iteration -> the top_k cannot be hoisted.
+            ms, sel = jax.lax.top_k(cs_m + q[0, 0] * 1e-9, 10)
+            return ms.sum() + jnp.take_along_axis(ci_m, sel, axis=1).sum()
+
+        print(f"IN-LOOP merge alone [{b},{cols}] ({tag}): "
+              f"{inloop(op_merge):.2f} ms", flush=True)
+
     for bq, bnv in [(128, 2048), (256, 1024), (512, 1024), (128, 4096)]:
         if n % bnv:
             continue
