@@ -29,10 +29,28 @@ def main():
     d = 1024
     dev = jax.devices()[0]
     rng = np.random.default_rng(0)
-    v = rng.standard_normal((n, d)).astype(np.float32)
-    q = rng.standard_normal((b, d)).astype(np.float32)
-    v_dev = jax.device_put(jnp.asarray(v, jnp.bfloat16), dev)
-    q_dev = jax.device_put(jnp.asarray(q), dev)
+
+    # Generate ON DEVICE: a host->device f32 corpus at 2M would be 8 GB
+    # through a ~32 MB/s tunnel (minutes) and OOM next to the bf16 copy.
+    blk = min(131072, n)
+
+    @jax.jit
+    def gen_blk(key, i):
+        x = jax.random.normal(jax.random.fold_in(key, i), (blk, d),
+                              jnp.float32)
+        x = x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-9)
+        return x.astype(jnp.bfloat16)
+
+    @jax.jit
+    def gen_all(key):
+        return jax.lax.map(
+            lambda i: gen_blk(key, i), jnp.arange(n // blk)
+        ).reshape(n, d)
+
+    v_dev = gen_all(jax.random.PRNGKey(0))
+    q_dev = gen_blk(jax.random.PRNGKey(1), jnp.int32(0))[:b].astype(
+        jnp.float32)
+    np.asarray(q_dev[0, 0])
     vn = jnp.int32(n)
     bn = pick_bn(n)
 
@@ -90,9 +108,22 @@ def main():
     print(f"IN-LOOP raw matmul: {inloop(op_mm):.2f} ms", flush=True)
 
     from sqe_tpu.ops.fused_scan import fused_scan_topk_int8, quantize_rows
-    v_i8, v_s = jax.jit(quantize_rows)(
-        jax.device_put(jnp.asarray(v), dev)
-    )
+    import functools as _ft
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def _fill(buf, vals, start):
+        return jax.lax.dynamic_update_slice(buf, vals, (start, 0))
+
+    @jax.jit
+    def _quant_chunk(vb):
+        return quantize_rows(vb.astype(jnp.float32))
+
+    v_i8 = jnp.zeros((n, d), jnp.int8)
+    v_s = jnp.zeros((n, 1), jnp.float32)
+    for c0 in range(0, n, blk):
+        qv, qs = _quant_chunk(v_dev[c0:c0 + blk])
+        v_i8 = _fill(v_i8, qv, jnp.int32(c0))
+        v_s = _fill(v_s, qs, jnp.int32(c0))
     v_i8 = jax.block_until_ready(v_i8)
 
     @jax.jit
@@ -113,7 +144,9 @@ def main():
 
     def op_blocked(approx):
         def op(q, v, valid):
-            s, ids = flat_topk(q, v, valid, k=10, block_n=n,
+            # Cap the block: a one-block scan at 2M would materialize an
+            # 8 GB [B, N] f32 score tile.
+            s, ids = flat_topk(q, v, valid, k=10, block_n=min(n, 131072),
                                exact=False, approx_topk=approx)
             return s.sum() + ids.sum()
         return op
