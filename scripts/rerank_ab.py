@@ -1,0 +1,188 @@
+"""int8-rerank gather-strategy A/B + candidate-depth sweep on the TPU.
+
+The rerank stage gathers B*R candidate rows from two int8 planes. Two
+implementations exist (index/flat.py::int8_rerank_topk):
+
+- ``kernel``: gather_dot Pallas kernel — one 8-row-group DMA per candidate
+  per plane (Mosaic int8 tiling forces the 8x read amplification). At
+  B=1024, R=128 that is 262k DMAs per batch; the 2M measurement (~25 ms
+  over the scan) suggests DMA-issue-rate bound, not bandwidth bound.
+- ``xla``: jnp.take + einsum — XLA's native gather, no per-candidate DMA
+  issue cost, no 8x amplification, but materializes [B, R, D] f32.
+
+This script times both at several (B, R) and reports epsilon-recall per R
+so FlatIndex can pick strategy and rerank_depth from measurements.
+
+Run on the TPU:  python scripts/rerank_ab.py [n_rows=2097152]
+Writes scripts/rerank_ab_results.json.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "rerank_ab_results.json")
+K = 10
+N_GATE = 128
+R_LOOP = 8
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sqe_tpu.index.flat import flat_topk, int8_scan_rerank_topk
+    from sqe_tpu.ops.fused_scan import pick_bn, quantize_rows
+    from sqe_tpu.utils.compile_cache import enable
+
+    enable()
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_097_152
+    d = 1024
+    blk = 131072
+    assert n % blk == 0
+
+    @jax.jit
+    def gen_blk(key, i):
+        x = jax.random.normal(jax.random.fold_in(key, i), (blk, d),
+                              jnp.float32)
+        x = x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-9)
+        return x.astype(jnp.bfloat16)
+
+    @jax.jit
+    def gen_all(key):
+        return jax.lax.map(lambda i: gen_blk(key, i),
+                           jnp.arange(n // blk)).reshape(n, d)
+
+    log(f"N={n} on {jax.devices()[0]}")
+    vecs = gen_all(jax.random.PRNGKey(0))
+    queries = gen_blk(jax.random.PRNGKey(1), jnp.int32(0))[:1024].astype(
+        jnp.float32)
+    np.asarray(queries[0, 0])
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill(buf, vals, start):
+        return jax.lax.dynamic_update_slice(buf, vals, (start, 0))
+
+    @jax.jit
+    def quant_chunk(v):
+        return quantize_rows(v.astype(jnp.float32))
+
+    @jax.jit
+    def resid_chunk(v, p, ps):
+        return quantize_rows(v.astype(jnp.float32) - p.astype(jnp.float32) * ps)
+
+    v_i8 = jnp.zeros((n, d), jnp.int8)
+    v_s = jnp.zeros((n, 1), jnp.float32)
+    r_i8 = jnp.zeros((n, d), jnp.int8)
+    r_s = jnp.zeros((n, 1), jnp.float32)
+    for c0 in range(0, n, blk):
+        qv, qs = quant_chunk(vecs[c0:c0 + blk])
+        rv, rs = resid_chunk(vecs[c0:c0 + blk], qv, qs)
+        v_i8 = fill(v_i8, qv, jnp.int32(c0))
+        v_s = fill(v_s, qs, jnp.int32(c0))
+        r_i8 = fill(r_i8, rv, jnp.int32(c0))
+        r_s = fill(r_s, rs, jnp.int32(c0))
+    np.asarray(r_s[0])
+    log("quantized both planes")
+
+    gate_q = queries[:N_GATE]
+    ref_s, _ = flat_topk(gate_q, vecs, jnp.int32(n), k=K, block_n=blk,
+                         exact=True)
+    ref_s = np.asarray(ref_s)
+    log("oracle done")
+
+    @jax.jit
+    def exact_scores(ids):
+        safe = jnp.maximum(ids, 0)
+        cand = vecs[safe].astype(jnp.float32)
+        s = jnp.einsum("bd,bkd->bk", gate_q, cand,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.where(ids >= 0, s, -jnp.inf)
+
+    def eps_recall(ids):
+        got = np.asarray(exact_scores(jnp.asarray(ids)))
+        thresh = ref_s[:, K - 1] - 1e-5
+        return float(np.mean(np.sum(got >= thresh[:, None], axis=1) / K))
+
+    bn = pick_bn(n)
+
+    def inloop_ms(b, r, use_kernel):
+        q = queries[:b]
+
+        @jax.jit
+        def run(q):
+            def body(i, acc):
+                ms, mi = int8_scan_rerank_topk(
+                    q + 1e-6 * i, v_i8, v_s, r_i8, r_s, jnp.int32(n),
+                    k=K, r=r, bn=bn, use_kernel=use_kernel)
+                return acc + ms.sum() + mi.sum().astype(jnp.float32)
+            return jax.lax.fori_loop(0, R_LOOP, body, 0.0)
+
+        np.asarray(run(q))            # compile + warm
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            np.asarray(run(q))
+            best = min(best, (time.perf_counter() - t0) / R_LOOP)
+        return best * 1e3
+
+    out = {"n": n}
+    for r in (32, 64, 128):
+        row = {}
+        _, mi = int8_scan_rerank_topk(gate_q, v_i8, v_s, r_i8, r_s,
+                                      jnp.int32(n), k=K, r=r, bn=bn)
+        row["recall"] = round(eps_recall(np.asarray(mi)), 4)
+        for b in (1, 64, 1024):
+            for strat, uk in (("kernel", True), ("xla", False)):
+                try:
+                    ms = inloop_ms(b, r, uk)
+                    row[f"b{b}_{strat}_ms"] = round(ms, 2)
+                except Exception as exc:  # noqa: BLE001
+                    row[f"b{b}_{strat}_ms"] = f"FAIL {str(exc)[:80]}"
+            log(f"R={r} B={b}: {json.dumps({k2: v for k2, v in row.items() if str(b) in k2 or k2=='recall'})}")
+        out[f"r{r}"] = row
+
+    # Scan-only baseline for the delta.
+    from sqe_tpu.ops.fused_scan import fused_scan_topk_int8
+
+    def scan_only_ms(b):
+        q = queries[:b]
+
+        @jax.jit
+        def run(q):
+            def body(i, acc):
+                ms, mi = fused_scan_topk_int8(
+                    q + 1e-6 * i, v_i8, v_s, jnp.int32(n), k=K, bn=bn)
+                return acc + ms.sum() + mi.sum().astype(jnp.float32)
+            return jax.lax.fori_loop(0, R_LOOP, body, 0.0)
+
+        np.asarray(run(q))
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            np.asarray(run(q))
+            best = min(best, (time.perf_counter() - t0) / R_LOOP)
+        return best * 1e3
+
+    out["scan_only"] = {f"b{b}_ms": round(scan_only_ms(b), 2)
+                        for b in (1, 64, 1024)}
+    log(json.dumps(out))
+    with open(RESULTS, "w") as f:
+        json.dump(out, f, indent=2)
+    log(f"wrote {RESULTS}")
+
+
+if __name__ == "__main__":
+    main()
