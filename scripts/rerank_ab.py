@@ -118,7 +118,7 @@ def main():
 
     bn = pick_bn(n)
 
-    def inloop_ms(b, r, use_kernel):
+    def inloop_ms(b, r, use_kernel, mode="full"):
         q = queries[:b]
 
         @jax.jit
@@ -126,7 +126,7 @@ def main():
             def body(i, acc):
                 ms, mi = int8_scan_rerank_topk(
                     q + 1e-6 * i, v_i8, v_s, r_i8, r_s, jnp.int32(n),
-                    k=K, r=r, bn=bn, use_kernel=use_kernel)
+                    k=K, r=r, bn=bn, use_kernel=use_kernel, mode=mode)
                 return acc + ms.sum() + mi.sum().astype(jnp.float32)
             return jax.lax.fori_loop(0, R_LOOP, body, 0.0)
 
@@ -139,19 +139,27 @@ def main():
         return best * 1e3
 
     out = {"n": n}
+    # Strategies: full two-plane rerank via the Pallas gather kernel, the
+    # same via XLA's native gather, and residual-only (half the DMAs,
+    # scan score reused for the primary term) via the kernel.
+    strategies = (("kernel", True, "full"), ("xla", False, "full"),
+                  ("resid", True, "residual"))
     for r in (32, 64, 128):
         row = {}
-        _, mi = int8_scan_rerank_topk(gate_q, v_i8, v_s, r_i8, r_s,
-                                      jnp.int32(n), k=K, r=r, bn=bn)
-        row["recall"] = round(eps_recall(np.asarray(mi)), 4)
+        for strat, uk, mode in (("recall", False, "full"),
+                                ("recall_resid", False, "residual")):
+            _, mi = int8_scan_rerank_topk(
+                gate_q, v_i8, v_s, r_i8, r_s, jnp.int32(n), k=K, r=r,
+                bn=bn, use_kernel=uk, mode=mode)
+            row[strat] = round(eps_recall(np.asarray(mi)), 4)
         for b in (1, 64, 1024):
-            for strat, uk in (("kernel", True), ("xla", False)):
+            for strat, uk, mode in strategies:
                 try:
-                    ms = inloop_ms(b, r, uk)
+                    ms = inloop_ms(b, r, uk, mode)
                     row[f"b{b}_{strat}_ms"] = round(ms, 2)
                 except Exception as exc:  # noqa: BLE001
                     row[f"b{b}_{strat}_ms"] = f"FAIL {str(exc)[:80]}"
-            log(f"R={r} B={b}: {json.dumps({k2: v for k2, v in row.items() if str(b) in k2 or k2=='recall'})}")
+            log(f"R={r} B={b}: {json.dumps({k2: v for k2, v in row.items() if str(b) in k2 or 'recall' in k2})}")
         out[f"r{r}"] = row
 
     # Scan-only baseline for the delta.

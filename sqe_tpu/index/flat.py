@@ -106,9 +106,59 @@ def int8_rerank_topk(
     return ms, mi
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "use_kernel", "interpret"))
+def int8_residual_rerank_topk(
+    queries: jax.Array,     # [B, D] f32 (normalized)
+    cand_s: jax.Array,      # [B, R] f32 scan scores (calibrated ~cosine)
+    cand_i: jax.Array,      # [B, R] int32 candidate ids (-1 = pad)
+    residual: jax.Array,    # [N, D] int8
+    rscales: jax.Array,     # [N, 1] f32
+    *,
+    k: int,
+    use_kernel: bool = True,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Residual-ONLY rerank: score = scan score + q . r*rs.
+
+    Gathers half the bytes and issues half the DMAs of the full rerank
+    (int8_rerank_topk) by reusing the scan's calibrated candidate scores
+    for the primary term instead of re-gathering the primary plane. The
+    price: the scan score keeps the QUERY-quantization noise on the
+    primary term (per-score std ~ qs/(2*sqrt(3)) ~ 3e-4 cosine for
+    normalized 1024-d queries), where the full rerank recomputes q_f32 . p
+    exactly. Use when the candidate margin comfortably exceeds ~1e-3;
+    measured against the full mode in scripts/rerank_ab.py."""
+    n, d = residual.shape
+    ids = jnp.maximum(cand_i, 0)
+    qf = queries.astype(jnp.float32)
+    if use_kernel and n % 8 == 0:
+        g = 8
+        sub = (ids % g)[..., None]
+        sims = gather_dot(residual.reshape(n // g, g, d), ids // g, qf,
+                          interpret=interpret)
+        sims = sims.reshape(ids.shape[0], ids.shape[1], g)
+        s2 = jnp.take_along_axis(sims, sub, axis=2)[..., 0]
+    else:
+        s2 = jnp.einsum("bd,brd->br", qf, residual[ids].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    score = cand_s + s2 * rscales[ids, 0]
+    score = jnp.where(cand_i >= 0, score, -jnp.inf)
+    k_eff = min(k, score.shape[1])
+    ms, sel = jax.lax.top_k(score, k_eff)
+    mi = jnp.take_along_axis(cand_i, sel, axis=1)
+    mi = jnp.where(jnp.isfinite(ms), mi, -1)
+    if k_eff < k:
+        pad = k - k_eff
+        ms = jnp.pad(ms, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        mi = jnp.pad(mi, ((0, 0), (0, pad)), constant_values=-1)
+    return ms, mi
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "r", "bn", "use_kernel", "interpret", "scan2"),
+    static_argnames=("k", "r", "bn", "use_kernel", "interpret", "scan2",
+                     "mode"),
 )
 def int8_scan_rerank_topk(
     queries: jax.Array,
@@ -124,19 +174,29 @@ def int8_scan_rerank_topk(
     use_kernel: bool = True,
     interpret: bool = False,
     scan2: bool = False,
+    mode: str = "full",
 ) -> Tuple[jax.Array, jax.Array]:
     """One device program: int8 fused scan -> top-r candidates -> exact
     residual rerank -> top-k. The int8 engine's recall-restoring serving
     path (VERDICT r02 #2). ``scan2`` selects the v2 column-max kernel
-    (ops/fused_scan2.py) for the candidate stage."""
+    (ops/fused_scan2.py) for the candidate stage. ``mode="residual"``
+    gathers only the residual plane and reuses the scan's candidate
+    scores for the primary term (half the rerank DMAs; see
+    int8_residual_rerank_topk for the noise tradeoff)."""
+    assert mode in ("full", "residual")
     if scan2:
-        _, cand_i = fused_scan2_topk_int8(
+        cand_s, cand_i = fused_scan2_topk_int8(
             queries, primary, pscales, valid_n, k=r, interpret=interpret
         )
     else:
-        _, cand_i = fused_scan_topk_int8(
+        cand_s, cand_i = fused_scan_topk_int8(
             queries, primary, pscales, valid_n, k=r, bn=bn,
             interpret=interpret
+        )
+    if mode == "residual":
+        return int8_residual_rerank_topk(
+            queries, cand_s, cand_i, residual, rscales,
+            k=k, use_kernel=use_kernel, interpret=interpret,
         )
     return int8_rerank_topk(
         queries, cand_i, primary, pscales, residual, rscales,

@@ -202,13 +202,33 @@ def test_int8_rerank_topk_kernel_matches_xla_path(rng):
     np.testing.assert_array_equal(np.asarray(mi_k), np.asarray(mi_x))
     np.testing.assert_allclose(np.asarray(ms_k), np.asarray(ms_x), atol=1e-5)
 
+    # Residual-only mode: kernel and XLA paths must also agree.
+    from sqe_tpu.index.flat import int8_residual_rerank_topk
+
+    import jax
+
+    cand_s = jnp.asarray(
+        np.where(cand >= 0, (qn @ vn.T)[np.arange(b)[:, None],
+                                        np.maximum(cand, 0)], -np.inf)
+    ).astype(jnp.float32)
+    rargs = (jnp.asarray(qn), cand_s, jnp.asarray(cand), jnp.asarray(res),
+             jnp.asarray(rs))
+    ms_rk, mi_rk = int8_residual_rerank_topk(
+        *rargs, k=k, use_kernel=True, interpret=True)
+    ms_rx, mi_rx = int8_residual_rerank_topk(*rargs, k=k, use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(mi_rk), np.asarray(mi_rx))
+    np.testing.assert_allclose(np.asarray(ms_rk), np.asarray(ms_rx),
+                               atol=1e-5)
+
 
 @pytest.mark.parametrize("scan2", [False, True])
-def test_int8_scan_rerank_recall_gate(rng, make_clustered, scan2):
+@pytest.mark.parametrize("mode", ["full", "residual"])
+def test_int8_scan_rerank_recall_gate(rng, make_clustered, scan2, mode):
     """Full int8 scan -> rerank path (interpret mode): recall@10 vs the
     exact oracle must clear the >=0.95 gate and dominate scan-only int8 —
     the VERDICT r02 #2 contract, CPU-shaped. Both candidate kernels (v1
-    bin-top-1, v2 column-max) must clear it."""
+    bin-top-1, v2 column-max) and both rerank modes (full two-plane,
+    residual-only half-DMA) must clear it."""
     import jax.numpy as jnp
 
     from sqe_tpu.index.flat import int8_scan_rerank_topk
@@ -225,7 +245,7 @@ def test_int8_scan_rerank_recall_gate(rng, make_clustered, scan2):
     ms, mi = int8_scan_rerank_topk(
         jnp.asarray(q), jnp.asarray(p), jnp.asarray(ps2), jnp.asarray(res),
         jnp.asarray(rs2), jnp.int32(n), k=k, r=r, bn=512,
-        use_kernel=False, interpret=True, scan2=scan2,
+        use_kernel=False, interpret=True, scan2=scan2, mode=mode,
     )
     _, only_i = fused_scan_topk_int8(
         jnp.asarray(q), jnp.asarray(p), jnp.asarray(ps2), jnp.int32(n),
