@@ -46,9 +46,15 @@ BIN = 128  # candidate bin width = one VPU lane row
 _PACK_OFF = 4.0
 
 
-def _packed_bin_top1(s, base, valid_n, *, bq: int, bn: int):
+def _packed_bin_top1(s, base, valid_n, *, bq: int, bn: int,
+                     masked: bool = True):
     """Shared packed selection: s [BQ, BN] f32 (approximate cosines) ->
-    (scores [BQ, L], global ids [BQ, L]) with one reduction per bin."""
+    (scores [BQ, L], global ids [BQ, L]) with one reduction per bin.
+
+    ``masked=False`` skips the per-element ``gids < valid_n`` iota/compare/
+    select (half the VPU passes over the score tile) — correct whenever the
+    whole tile lies below ``valid_n``, i.e. every corpus tile except the one
+    straddling the pad boundary (see the tail branch in ``_scan_kernel``)."""
     bitcast = jax.lax.bitcast_convert_type
     lanes = jax.lax.broadcasted_iota(jnp.int32, (bq, BIN), 1)
     lanes_rev = BIN - 1 - lanes
@@ -58,8 +64,11 @@ def _packed_bin_top1(s, base, valid_n, *, bq: int, bn: int):
     for l in range(bn // BIN):
         # Static lane-aligned slice: no relayout.
         chunk = s[:, l * BIN:(l + 1) * BIN]
-        gids = base + l * BIN + lanes
-        shifted = jnp.where(gids < valid_n, chunk + _PACK_OFF, 0.0)
+        if masked:
+            gids = base + l * BIN + lanes
+            shifted = jnp.where(gids < valid_n, chunk + _PACK_OFF, 0.0)
+        else:
+            shifted = chunk + _PACK_OFF
         packed = (bitcast(shifted, jnp.int32) & ~jnp.int32(BIN - 1)) | lanes_rev
         m = jnp.max(packed, axis=1, keepdims=True)       # [BQ, 1] int32
         valid = m >= pack_min
@@ -89,9 +98,22 @@ def _scan_kernel(
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    cs, ci = _packed_bin_top1(s, base, valid_n, bq=bq, bn=bn)
-    s_out[0] = cs
-    i_out[0] = ci
+    # Pad-row masking is only needed on the tile straddling valid_n; every
+    # other tile takes the unmasked path (half the VPU passes).
+    tail = base + bn > valid_n
+
+    @pl.when(jnp.logical_not(tail))
+    def _():
+        cs, ci = _packed_bin_top1(s, base, valid_n, bq=bq, bn=bn,
+                                  masked=False)
+        s_out[0] = cs
+        i_out[0] = ci
+
+    @pl.when(tail)
+    def _():
+        cs, ci = _packed_bin_top1(s, base, valid_n, bq=bq, bn=bn)
+        s_out[0] = cs
+        i_out[0] = ci
 
 
 @functools.partial(
@@ -181,9 +203,20 @@ def _scan_kernel_int8(
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
     s = s * vs_ref[0][None, :] * qs_ref[:]
-    cs, ci = _packed_bin_top1(s, base, valid_n, bq=bq, bn=bn)
-    s_out[0] = cs
-    i_out[0] = ci
+    tail = base + bn > valid_n
+
+    @pl.when(jnp.logical_not(tail))
+    def _():
+        cs, ci = _packed_bin_top1(s, base, valid_n, bq=bq, bn=bn,
+                                  masked=False)
+        s_out[0] = cs
+        i_out[0] = ci
+
+    @pl.when(tail)
+    def _():
+        cs, ci = _packed_bin_top1(s, base, valid_n, bq=bq, bn=bn)
+        s_out[0] = cs
+        i_out[0] = ci
 
 
 def quantize_rows(x: jax.Array):
