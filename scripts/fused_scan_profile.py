@@ -1,7 +1,10 @@
 """Break down fused-scan cost: kernel candidates vs final merge."""
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
