@@ -95,7 +95,7 @@ def perplexity(params, cfg, tokenizer, chunks, n_batches: int) -> dict:
 _CITE_RE = re.compile(r"[Dd]ocument[:\s]+([A-Za-z0-9_\-\.]+)")
 
 
-def check_answer(answer: str, context_ids: list) -> dict:
+def check_answer(answer: str, context_ids: list, src_id: str = "") -> dict:
     cited = [m.rstrip(".,;:") for m in _CITE_RE.findall(answer)]
     ctx = set(context_ids)
     sentences = [s for s in re.split(r"(?<=[.!?])\s+", answer.strip()) if s]
@@ -105,6 +105,10 @@ def check_answer(answer: str, context_ids: list) -> dict:
         "cites_valid": bool(cited) and all(c in ctx for c in cited),
         "cites_clean": bool(cited) and not any(c.endswith(".txt") for c in cited),
         "ends_with_ref": bool(_CITE_RE.search(last)),
+        # Stronger than cites_valid: cited the TRUE source document, not
+        # just any in-context id (context order is shuffled, so a model
+        # that always cites slot 0 scores ~0.5 here, not 1.0).
+        "cites_src": bool(src_id) and src_id in cited,
         "cited_ids": cited,
     }
 
@@ -141,13 +145,17 @@ async def grounded_samples(params, cfg, tokenizer, chunks, n_samples: int) -> di
             if cand.doc_id != src.doc_id:
                 distractor = cand
                 break
+        ordered = [src, distractor]
+        if rng.random() < 0.5:   # source slot varies (see check_answer)
+            ordered.reverse()
         ctx_map = {}
-        for c in (src, distractor):
+        for c in ordered:
             did = c.doc_id.replace(".txt", "")
             ctx_map[did] = (ctx_map.get(did, "") + "\n" + c.text).strip()
         prompt = build_prompt(q, render_context(ctx_map))
         answer = await backend.generate(prompt, SYSTEM_MESSAGE) or ""
-        checks = check_answer(answer, list(ctx_map))
+        checks = check_answer(answer, list(ctx_map),
+                              src_id=src.doc_id.replace(".txt", ""))
         agg.update({k: int(v) for k, v in checks.items()
                     if isinstance(v, bool) and v})
         agg["answered"] += int(bool(answer.strip()))
@@ -163,7 +171,7 @@ async def grounded_samples(params, cfg, tokenizer, chunks, n_samples: int) -> di
         "n_samples": len(samples),
         "rates": {k: round(agg.get(k, 0) / n, 3)
                   for k in ("answered", "cites", "cites_valid",
-                            "cites_clean", "ends_with_ref")},
+                            "cites_clean", "ends_with_ref", "cites_src")},
         "samples": samples,
     }
 

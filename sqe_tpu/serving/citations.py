@@ -1,0 +1,103 @@
+"""Slot-based citation markers for the on-TPU decoder.
+
+The serve contract (reference 6-rule system message, app/main.py:519-528)
+requires answers to cite ``Document <id>``. The word-level tokenizer cannot
+represent corpus doc ids: ``PMC529461`` is a single [a-z0-9]+ word that
+falls into the hashed OOV tail — no dedicated embedding row, no inverse
+mapping, shared bucket with unrelated rare words. Round 3's first SFT run
+proved the consequence (ckpt_trained/lm/lm_eval.json: cites_valid 0.0 after
+2000 steps): the citation target was literally unlearnable.
+
+Fix: citations are *slot* references, not id strings. Each context section
+header is rewritten to carry one of ``N_SLOTS`` dedicated marker words
+(``citemark0`` …), the SFT target cites the source section's marker, and
+the decode loop expands an emitted marker back to that slot's real doc id.
+The LM's job collapses from "spell a 3,027-way unhashable id" to "name the
+section the answer came from" — 8 learnable tokens that generalize to
+corpora the model never saw. The rendered answer still reads
+``Document PMC529461`` exactly as rule 1 demands.
+
+Marker ids live in the learned vocabulary so ``build_inverse_vocab`` and
+the native tokenizer table see them; when the vocab is full the least
+frequent words (highest ids, by VocabTokenizer.train construction) are
+evicted to the hash tail.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+from sqe_tpu.data.tokenizer import N_SPECIAL, VocabTokenizer
+
+N_SLOTS = 8
+MARKER_WORDS: List[str] = [f"citemark{i}" for i in range(N_SLOTS)]
+
+# render_context's exact section header (serving/prompts.py; parity with
+# app/main.py:500-513). Doc ids are word-ish tokens (filename stems).
+_DOC_HEADER_RE = re.compile(r"--- Document ID: (\S+) ---")
+
+
+def marker_word(slot: int) -> str:
+    return MARKER_WORDS[slot]
+
+
+def ensure_marker_ids(tokenizer) -> Dict[str, int]:
+    """Give every marker word a dedicated vocab id; return word -> id.
+
+    Idempotent: markers already present (e.g. a post-SFT checkpoint's saved
+    tokenizer state) keep their ids. New markers take free ids below the
+    hash tail, evicting the least-frequent vocab words when full. The
+    native lookup table is invalidated so the C fast path stays identical.
+    """
+    if not isinstance(tokenizer, VocabTokenizer):
+        raise TypeError(
+            "citation markers need a learned vocabulary (VocabTokenizer); "
+            f"got {type(tokenizer).__name__}"
+        )
+    vocab = tokenizer.vocab
+    missing = [w for w in MARKER_WORDS if w not in vocab]
+    if missing:
+        used = set(vocab.values())
+        free = [i for i in range(N_SPECIAL, tokenizer._tail_base)
+                if i not in used]
+        if len(free) < len(missing):
+            # Evict least-frequent entries: VocabTokenizer.train assigns ids
+            # in descending frequency order, so highest id = rarest word.
+            evict = sorted(
+                ((tid, w) for w, tid in vocab.items()
+                 if w not in MARKER_WORDS),
+                reverse=True,
+            )[: len(missing) - len(free)]
+            for tid, w in evict:
+                del vocab[w]
+                free.append(tid)
+        free.sort()
+        for w, tid in zip(missing, free):
+            vocab[w] = tid
+        tokenizer._table = None  # rebuild the native lookup table
+    return {w: vocab[w] for w in MARKER_WORDS}
+
+
+def mark_citations(prompt: str) -> Tuple[str, List[str]]:
+    """Rewrite context headers to carry slot markers.
+
+    Returns (marked_prompt, slots) where ``slots[i]`` is the doc id whose
+    section carries ``citemark{i}``. Sections beyond ``N_SLOTS`` are left
+    unmarked (the serve path retrieves top_k=5 chunks -> <=5 docs; 8 slots
+    is headroom). Repeated headers for one doc id share a slot.
+    """
+    slots: List[str] = []
+
+    def _sub(m: re.Match) -> str:
+        doc_id = m.group(1)
+        if doc_id in slots:
+            i = slots.index(doc_id)
+        elif len(slots) < N_SLOTS:
+            slots.append(doc_id)
+            i = len(slots) - 1
+        else:
+            return m.group(0)
+        return f"--- Document ID: {doc_id} {marker_word(i)} ---"
+
+    return _DOC_HEADER_RE.sub(_sub, prompt), slots

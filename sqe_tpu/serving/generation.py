@@ -215,16 +215,26 @@ class TPUDecoderBackend:
     """
 
     def __init__(self, params, cfg, tokenizer, device=None,
-                 max_new_tokens: int = 96, temperature: float = 0.7,
+                 max_new_tokens: int = 96, temperature: float = 0.0,
                  top_k: int = 40, seed: int = 0):
+        # temperature 0.0 (greedy) by default: the contract is extractive,
+        # citation-bearing answering (app/main.py:519-528); sampling only
+        # degrades format compliance for a small corpus LM.
         import jax
 
         from sqe_tpu.data.tokenizer import build_inverse_vocab
+        from sqe_tpu.serving.citations import MARKER_WORDS, ensure_marker_ids
 
         self.cfg = cfg
         self.device = device
         self.params = jax.device_put(params, device) if device else params
         self.tokenizer = tokenizer
+        # Marker ids must be registered BEFORE the inverse vocab is built so
+        # an unmapped marker still renders as its word (never dropped).
+        marker_ids = ensure_marker_ids(tokenizer)
+        self._marker_slot = {
+            marker_ids[w]: slot for slot, w in enumerate(MARKER_WORDS)
+        }
         self.inverse = build_inverse_vocab(tokenizer)
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
@@ -245,8 +255,13 @@ class TPUDecoderBackend:
             init_kv_cache,
             prefill,
         )
+        from sqe_tpu.serving.citations import mark_citations
         from sqe_tpu.utils import dispatch
 
+        # Slot-based citations (serving/citations.py): tag each context
+        # section with a marker word the LM *can* emit; expand emitted
+        # markers back to the section's real doc id below.
+        prompt, slots = mark_citations(prompt)
         toks = self.tokenizer.tokenize(prompt)
         budget = self.cfg.max_len - self.max_new_tokens - 1
         # Keep the query (head) AND the instruction tail; drop middle context.
@@ -274,17 +289,31 @@ class TPUDecoderBackend:
             dispatch.program("lm_decode_chunk")
             toks_np = np.asarray(toks_dev)[0]
             dispatch.sync("lm_decode_chunk")
-            stop = False
-            for tid in toks_np:
-                if int(tid) == PAD_ID:
-                    stop = True
-                    break
-                word = self.inverse.get(int(tid))
-                if word is not None:
-                    emit(word + " ")
+            stop = self._emit_tokens(toks_np, slots, emit)
             emitted += n
             if stop:
                 break
+
+    def _emit_tokens(self, toks_np, slots, emit) -> bool:
+        """Render one decoded burst; True when EOS(PAD) was hit.
+
+        Marker tokens (serving/citations.py) expand to their slot's real
+        doc id so the streamed answer reads ``Document PMC529461`` exactly
+        as rule 1 (app/main.py:519-528) requires.
+        """
+        from sqe_tpu.data.tokenizer import PAD_ID
+
+        for tid in toks_np:
+            if int(tid) == PAD_ID:
+                return True
+            slot = self._marker_slot.get(int(tid))
+            if slot is not None and slot < len(slots):
+                emit(slots[slot] + " ")   # citemarkN -> real doc id
+                continue
+            word = self.inverse.get(int(tid))
+            if word is not None:
+                emit(word + " ")
+        return False
 
     async def generate(self, prompt: str, system_msg: str = "") -> Optional[str]:
         chunks: list = []

@@ -10,10 +10,13 @@ the corpus itself:
 
 - **Grounded example**: a templated question over one sentence's
   informative terms (train/eval.py — the same generator the retrieval
-  eval uses), context = the source chunk plus one distractor chunk
-  rendered EXACTLY as serve renders it (serving/prompts.py), target =
-  the source sentence + `` Document <id>.`` — extractive answering with
-  a citation, which is what rules 1/2/4 demand.
+  eval uses), context = the source chunk plus one distractor chunk in
+  shuffled order, rendered EXACTLY as serve renders it
+  (serving/prompts.py) with slot citation markers (serving/citations.py
+  — doc ids are untokenizable, so the target cites the source section's
+  marker word and the decode loop expands it to the real id), target =
+  the source sentence + `` Document <marker>.`` — extractive answering
+  with a citation, which is what rules 1/2/4 demand.
 - **Refusal example** (``refusal_frac`` of the stream): the context
   contains ONLY distractor chunks, target = the rule-3 string
   ``I lack the context to answer your question.``
@@ -71,6 +74,11 @@ def build_example(
     ``weights[t]`` applies to predicting ``ids[t+1]``: 1.0 on answer tokens
     and the first EOS(PAD) after them, 0.0 on prompt/conditioning tokens.
     """
+    from sqe_tpu.serving.citations import (
+        ensure_marker_ids,
+        mark_citations,
+        marker_word,
+    )
     from sqe_tpu.serving.prompts import (
         SYSTEM_MESSAGE,
         build_prompt,
@@ -78,21 +86,29 @@ def build_example(
     )
     from sqe_tpu.train.eval import make_question_with_source
 
+    ensure_marker_ids(tokenizer)   # idempotent: markers need dedicated ids
     q, sent = make_question_with_source(src.text, rng, doc_freq)
     if q is None:
         return None
-    ctx_map = {}
-    if not refusal:
-        ctx_map[_doc_ref(src.doc_id)] = src.text
+    sections = [] if refusal else [(_doc_ref(src.doc_id), src.text)]
     for d in distractors:
         ref = _doc_ref(d.doc_id)
-        if ref not in ctx_map:
-            ctx_map[ref] = d.text
+        if all(r != ref for r, _ in sections):
+            sections.append((ref, d.text))
+    # Shuffle section order so the source's citation SLOT varies — the model
+    # must associate answer content with its section's marker, not learn
+    # "always cite slot 0".
+    order = rng.permutation(len(sections))
+    ctx_map = dict(sections[int(i)] for i in order)
+    prompt = SYSTEM_MESSAGE + "\n" + build_prompt(q, render_context(ctx_map))
+    # Slot-based citation (serving/citations.py): the tokenizer cannot spell
+    # doc ids, so the target cites the source section's marker word; the
+    # decode loop expands it back to the real id.
+    prompt, slots = mark_citations(prompt)
     if refusal:
         answer = REFUSAL
     else:
-        answer = f"{sent}. Document {_doc_ref(src.doc_id)}."
-    prompt = SYSTEM_MESSAGE + "\n" + build_prompt(q, render_context(ctx_map))
+        answer = f"{sent}. Document {marker_word(slots.index(_doc_ref(src.doc_id)))}."
 
     a_toks = tokenizer.tokenize(answer)
     if not a_toks:
@@ -124,7 +140,10 @@ def sft_batches(
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Endless stream of ([B, seq_len+1] ids, [B, seq_len] weights)."""
     rng = np.random.default_rng(seed)
+    from sqe_tpu.serving.citations import ensure_marker_ids
     from sqe_tpu.train.eval import build_doc_freq
+
+    ensure_marker_ids(tokenizer)   # idempotent; markers must predate tokenize
 
     doc_freq = build_doc_freq(chunks)
 
