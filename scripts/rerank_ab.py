@@ -13,6 +13,13 @@ implementations exist (index/flat.py::int8_rerank_topk):
 This script times both at several (B, R) and reports epsilon-recall per R
 so FlatIndex can pick strategy and rerank_depth from measurements.
 
+Interpreting recall_resid vs recall: the residual-only mode keeps TWO
+error terms on the primary score (index/flat.py::int8_residual_rerank_topk
+docstring) — query-quantization noise (~3e-4 std) AND the fused scan's
+packed bin/column selection quantum (2^bits * ulp(4.0), ~1e-3 at
+multi-million N under the v2 kernel). A recall_resid deficit within what
+those terms predict for K-th-place margins is expected physics, not a bug.
+
 Run on the TPU:  python scripts/rerank_ab.py [n_rows=2097152]
 Writes scripts/rerank_ab_results.json.
 """

@@ -123,12 +123,21 @@ def int8_residual_rerank_topk(
 
     Gathers half the bytes and issues half the DMAs of the full rerank
     (int8_rerank_topk) by reusing the scan's calibrated candidate scores
-    for the primary term instead of re-gathering the primary plane. The
-    price: the scan score keeps the QUERY-quantization noise on the
-    primary term (per-score std ~ qs/(2*sqrt(3)) ~ 3e-4 cosine for
-    normalized 1024-d queries), where the full rerank recomputes q_f32 . p
-    exactly. Use when the candidate margin comfortably exceeds ~1e-3;
-    measured against the full mode in scripts/rerank_ab.py."""
+    for the primary term instead of re-gathering the primary plane. Two
+    error terms ride along (the full rerank recomputes q_f32 . p exactly
+    and has neither):
+
+    - query-quantization noise on the primary term, per-score std
+      ~ qs/(2*sqrt(3)) ~ 3e-4 cosine for normalized 1024-d queries;
+    - the packed bin/column selection's mantissa clearing: fused-scan
+      kernels bitcast the candidate index into the score's low mantissa
+      bits, quantizing the reused scan score by 2^bits * ulp(4.0)
+      (~1e-3 at multi-million N with the v2 kernel's wider bin field).
+
+    Use when the candidate margin comfortably exceeds the SUM of both
+    (~1.5e-3 at 2M+ rows); measured against the full mode in
+    scripts/rerank_ab.py, which interprets its recall deltas against
+    these terms."""
     n, d = residual.shape
     ids = jnp.maximum(cand_i, 0)
     qf = queries.astype(jnp.float32)

@@ -29,6 +29,9 @@ import re
 from typing import Dict, List, Tuple
 
 from sqe_tpu.data.tokenizer import N_SPECIAL, VocabTokenizer
+from sqe_tpu.utils.logging import get_logger
+
+log = get_logger("serving.citations")
 
 N_SLOTS = 8
 MARKER_WORDS: List[str] = [f"citemark{i}" for i in range(N_SLOTS)]
@@ -42,13 +45,20 @@ def marker_word(slot: int) -> str:
     return MARKER_WORDS[slot]
 
 
-def ensure_marker_ids(tokenizer) -> Dict[str, int]:
+def ensure_marker_ids(tokenizer, *, expect_present: bool = False) -> Dict[str, int]:
     """Give every marker word a dedicated vocab id; return word -> id.
 
     Idempotent: markers already present (e.g. a post-SFT checkpoint's saved
     tokenizer state) keep their ids. New markers take free ids below the
     hash tail, evicting the least-frequent vocab words when full. The
     native lookup table is invalidated so the C fast path stays identical.
+
+    ``expect_present`` marks serve/eval-time callers loading a trained LM
+    checkpoint: fit-lm persists the marker-bearing tokenizer after SFT, so
+    fresh registration there means the checkpoint predates slot markers —
+    the model never learned to emit them and the new id assignment is
+    drift, not training state. Warn instead of silently reassigning
+    (round-3 advisor finding).
     """
     if not isinstance(tokenizer, VocabTokenizer):
         raise TypeError(
@@ -57,6 +67,14 @@ def ensure_marker_ids(tokenizer) -> Dict[str, int]:
         )
     vocab = tokenizer.vocab
     missing = [w for w in MARKER_WORDS if w not in vocab]
+    if missing and expect_present:
+        log.warning(
+            "registering %d citation marker ids on a loaded LM tokenizer "
+            "that lacks them: this checkpoint predates slot markers — the "
+            "model was trained without them and will not cite; evicted "
+            "rare words now re-tokenize into the hash tail",
+            len(missing),
+        )
     if missing:
         used = set(vocab.values())
         free = [i for i in range(N_SPECIAL, tokenizer._tail_base)

@@ -229,9 +229,10 @@ class TPUDecoderBackend:
         self.device = device
         self.params = jax.device_put(params, device) if device else params
         self.tokenizer = tokenizer
-        # Marker ids must be registered BEFORE the inverse vocab is built so
-        # an unmapped marker still renders as its word (never dropped).
-        marker_ids = ensure_marker_ids(tokenizer)
+        # Marker ids must be registered BEFORE the inverse vocab is built;
+        # expect_present: a trained LM checkpoint persists its markers, so
+        # fresh registration here is drift worth a warning.
+        marker_ids = ensure_marker_ids(tokenizer, expect_present=True)
         self._marker_slot = {
             marker_ids[w]: slot for slot, w in enumerate(MARKER_WORDS)
         }
@@ -307,8 +308,13 @@ class TPUDecoderBackend:
             if int(tid) == PAD_ID:
                 return True
             slot = self._marker_slot.get(int(tid))
-            if slot is not None and slot < len(slots):
-                emit(slots[slot] + " ")   # citemarkN -> real doc id
+            if slot is not None:
+                if slot < len(slots):
+                    emit(slots[slot] + " ")   # citemarkN -> real doc id
+                # Unmapped marker (hallucinated slot beyond this prompt's
+                # table, or echoed from a capped section): suppress it —
+                # the internal marker word must never reach a served answer
+                # (round-3 advisor finding).
                 continue
             word = self.inverse.get(int(tid))
             if word is not None:

@@ -119,8 +119,10 @@ def test_backend_expands_marker_to_doc_id():
     stop = backend._emit_tokens(np.asarray(toks, np.int32), slots, out.append)
     assert stop
     assert "".join(out).strip() == "known document PMC42"
-    # Marker beyond the prompt's slot table falls back to its word form.
+    # Marker beyond the prompt's slot table is suppressed: the internal
+    # marker word must never leak into a served answer.
     out2: list = []
     backend._emit_tokens(
-        np.asarray([tok.vocab[marker_word(5)]], np.int32), slots, out2.append)
-    assert out2 == [marker_word(5) + " "]
+        np.asarray([tok.vocab[marker_word(5)],
+                    tok.tokenize("answer")[0]], np.int32), slots, out2.append)
+    assert out2 == ["answer "]
