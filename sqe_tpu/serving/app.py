@@ -258,6 +258,12 @@ def main(argv: Optional[list] = None) -> None:
         from sqe_tpu.serving.auth import HTTPAuth
 
         auth_hook = HTTPAuth(auth_url)
+    elif os.getenv("POSTGRES_HOST"):
+        # Reference parity: users-table authorization over Postgres
+        # (embedding_gen.py:282-309), selected by the reference's own env.
+        from sqe_tpu.serving.auth import PostgresAuth
+
+        auth_hook = PostgresAuth.from_env()
 
     upload_port = cfg.serve.upload_port if "--two_ports" in argv else None
     asyncio.run(serve(engine, auth_hook=auth_hook, upload_port=upload_port))

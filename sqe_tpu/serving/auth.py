@@ -11,6 +11,9 @@ pluggable auth hook"); implementations here:
   re-stat'd per check so user admin needs no restart.
 - ``HTTPAuth``        — delegates to an external auth service (the shape a
   real deployment with a SQL/IDP backend plugs into).
+- ``PostgresAuth``    — the reference's users-table lookup, re-implemented
+  over a from-scratch wire-protocol client (serving/pgwire.py); fail-closed
+  on connect/auth/query errors exactly like embedding_gen.py:282-309.
 """
 
 from __future__ import annotations
@@ -70,6 +73,58 @@ class UserFileAuth:
         if not self._refresh():
             return False  # fail closed, like the reference's conn-error path
         return user_id in self._users
+
+
+class PostgresAuth:
+    """Users-table lookup over the wire-level PG client (pgwire.py).
+
+    Behavioral parity with the reference's check_user_authorized_in_postgres
+    (embedding_gen.py:282-309): a fresh connection per check, the
+    parameterized query ``SELECT id, email FROM users WHERE id = $1``, and
+    authorization only when the row exists with BOTH id and email non-empty
+    after strip. Any error on any step denies (fail closed)."""
+
+    QUERY = "SELECT id, email FROM users WHERE id = $1;"
+
+    def __init__(self, host: str, port: int = 5432, database: str = "postgres",
+                 user: str = "postgres", password: str = "",
+                 timeout_s: float = 5.0):
+        self.host, self.port = host, port
+        self.database, self.user, self.password = database, user, password
+        self.timeout_s = timeout_s
+
+    @classmethod
+    def from_env(cls) -> "PostgresAuth":
+        """Reference env names (embedding_gen.py:30-35)."""
+        return cls(
+            host=os.getenv("POSTGRES_HOST", "localhost"),
+            port=int(os.getenv("POSTGRES_PORT", "5432")),
+            database=os.getenv("POSTGRES_DB", "postgres"),
+            user=os.getenv("POSTGRES_USER", "postgres"),
+            password=os.getenv("POSTGRES_PASSWORD", ""),
+        )
+
+    async def __call__(self, user_id: str) -> bool:
+        from sqe_tpu.serving.pgwire import PGError, PGWireClient
+
+        if not user_id.strip():
+            return False
+        client = PGWireClient(timeout_s=self.timeout_s)
+        try:
+            await client.connect(self.host, self.port, self.user,
+                                 self.password, self.database)
+            row = await client.fetchrow(self.QUERY, [user_id])
+            if row is None or len(row) < 2:
+                return False
+            return all(c is not None and str(c).strip() for c in row[:2])
+        except PGError as exc:
+            log.error("postgres auth error: %s; denying", exc)
+            return False
+        except Exception as exc:  # noqa: BLE001 — fail closed, always
+            log.error("postgres auth unexpected error: %s; denying", exc)
+            return False
+        finally:
+            await client.close()
 
 
 class HTTPAuth:
