@@ -109,17 +109,20 @@ def main():
     ref_s = np.asarray(ref_s)
     log("oracle done")
 
+    # Large arrays are ARGUMENTS, never closures: a jitted closure over the
+    # 4 GB bf16 base embeds it as a compile-time constant, and the remote
+    # compile service chokes on the payload (round-4 broken-pipe crash).
     @jax.jit
-    def exact_scores(ids):
+    def exact_scores(ids, q, base):
         safe = jnp.maximum(ids, 0)
-        cand = vecs[safe].astype(jnp.float32)
-        s = jnp.einsum("bd,bkd->bk", gate_q, cand,
+        cand = base[safe].astype(jnp.float32)
+        s = jnp.einsum("bd,bkd->bk", q, cand,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
         return jnp.where(ids >= 0, s, -jnp.inf)
 
     def eps_recall(ids):
-        got = np.asarray(exact_scores(jnp.asarray(ids)))
+        got = np.asarray(exact_scores(jnp.asarray(ids), gate_q, vecs))
         thresh = ref_s[:, K - 1] - 1e-5
         return float(np.mean(np.sum(got >= thresh[:, None], axis=1) / K))
 
@@ -128,20 +131,22 @@ def main():
     def inloop_ms(b, r, use_kernel, mode="full"):
         q = queries[:b]
 
-        @jax.jit
-        def run(q):
+        @functools.partial(jax.jit, static_argnames=("r2", "uk", "md"))
+        def run(q, vi, vs, ri, rs, *, r2, uk, md):
             def body(i, acc):
                 ms, mi = int8_scan_rerank_topk(
-                    q + 1e-6 * i, v_i8, v_s, r_i8, r_s, jnp.int32(n),
-                    k=K, r=r, bn=bn, use_kernel=use_kernel, mode=mode)
+                    q + 1e-6 * i, vi, vs, ri, rs, jnp.int32(n),
+                    k=K, r=r2, bn=bn, use_kernel=uk, mode=md)
                 return acc + ms.sum() + mi.sum().astype(jnp.float32)
             return jax.lax.fori_loop(0, R_LOOP, body, 0.0)
 
-        np.asarray(run(q))            # compile + warm
+        args = (q, v_i8, v_s, r_i8, r_s)
+        kw = dict(r2=r, uk=use_kernel, md=mode)
+        np.asarray(run(*args, **kw))  # compile + warm
         best = float("inf")
         for _ in range(4):
             t0 = time.perf_counter()
-            np.asarray(run(q))
+            np.asarray(run(*args, **kw))
             best = min(best, (time.perf_counter() - t0) / R_LOOP)
         return best * 1e3
 
@@ -168,6 +173,8 @@ def main():
                     row[f"b{b}_{strat}_ms"] = f"FAIL {str(exc)[:80]}"
             log(f"R={r} B={b}: {json.dumps({k2: v for k2, v in row.items() if str(b) in k2 or 'recall' in k2})}")
         out[f"r{r}"] = row
+        with open(RESULTS, "w") as f:   # progressive: crash keeps rows
+            json.dump(out, f, indent=2)
 
     # Scan-only baseline for the delta.
     from sqe_tpu.ops.fused_scan import fused_scan_topk_int8
@@ -176,18 +183,18 @@ def main():
         q = queries[:b]
 
         @jax.jit
-        def run(q):
+        def run(q, vi, vs):
             def body(i, acc):
                 ms, mi = fused_scan_topk_int8(
-                    q + 1e-6 * i, v_i8, v_s, jnp.int32(n), k=K, bn=bn)
+                    q + 1e-6 * i, vi, vs, jnp.int32(n), k=K, bn=bn)
                 return acc + ms.sum() + mi.sum().astype(jnp.float32)
             return jax.lax.fori_loop(0, R_LOOP, body, 0.0)
 
-        np.asarray(run(q))
+        np.asarray(run(q, v_i8, v_s))
         best = float("inf")
         for _ in range(4):
             t0 = time.perf_counter()
-            np.asarray(run(q))
+            np.asarray(run(q, v_i8, v_s))
             best = min(best, (time.perf_counter() - t0) / R_LOOP)
         return best * 1e3
 
