@@ -128,20 +128,20 @@ def main():
 
     bn = pick_bn(n)
 
-    def inloop_ms(b, r, use_kernel, mode="full"):
+    def inloop_ms(b, r, use_kernel, mode="full", scan2=False):
         q = queries[:b]
 
-        @functools.partial(jax.jit, static_argnames=("r2", "uk", "md"))
-        def run(q, vi, vs, ri, rs, *, r2, uk, md):
+        @functools.partial(jax.jit, static_argnames=("r2", "uk", "md", "s2"))
+        def run(q, vi, vs, ri, rs, *, r2, uk, md, s2):
             def body(i, acc):
                 ms, mi = int8_scan_rerank_topk(
                     q + 1e-6 * i, vi, vs, ri, rs, jnp.int32(n),
-                    k=K, r=r2, bn=bn, use_kernel=uk, mode=md)
+                    k=K, r=r2, bn=bn, use_kernel=uk, mode=md, scan2=s2)
                 return acc + ms.sum() + mi.sum().astype(jnp.float32)
             return jax.lax.fori_loop(0, R_LOOP, body, 0.0)
 
         args = (q, v_i8, v_s, r_i8, r_s)
-        kw = dict(r2=r, uk=use_kernel, md=mode)
+        kw = dict(r2=r, uk=use_kernel, md=mode, s2=scan2)
         np.asarray(run(*args, **kw))  # compile + warm
         best = float("inf")
         for _ in range(4):
@@ -151,55 +151,69 @@ def main():
         return best * 1e3
 
     out = {"n": n}
-    # Strategies: full two-plane rerank via the Pallas gather kernel, the
-    # same via XLA's native gather, and residual-only (half the DMAs,
-    # scan score reused for the primary term) via the kernel.
-    strategies = (("kernel", True, "full"), ("xla", False, "full"),
-                  ("resid", True, "residual"))
-    for r in (32, 64, 128):
-        row = {}
-        for strat, uk, mode in (("recall", False, "full"),
-                                ("recall_resid", False, "residual")):
-            _, mi = int8_scan_rerank_topk(
-                gate_q, v_i8, v_s, r_i8, r_s, jnp.int32(n), k=K, r=r,
-                bn=bn, use_kernel=uk, mode=mode)
-            row[strat] = round(eps_recall(np.asarray(mi)), 4)
-        for b in (1, 64, 1024):
-            for strat, uk, mode in strategies:
-                try:
-                    ms = inloop_ms(b, r, uk, mode)
-                    row[f"b{b}_{strat}_ms"] = round(ms, 2)
-                except Exception as exc:  # noqa: BLE001
-                    row[f"b{b}_{strat}_ms"] = f"FAIL {str(exc)[:80]}"
-            log(f"R={r} B={b}: {json.dumps({k2: v for k2, v in row.items() if str(b) in k2 or 'recall' in k2})}")
-        out[f"r{r}"] = row
-        with open(RESULTS, "w") as f:   # progressive: crash keeps rows
-            json.dump(out, f, indent=2)
+    # Strategies: full two-plane rerank via the Pallas gather kernel and
+    # residual-only (half the DMAs, scan score reused for the primary
+    # term). The XLA-gather variant and B=64 were dropped after the first
+    # 2M sweep measured them within noise of the kernel/endpoints.
+    # Both candidate scans are swept: v1 (fused_scan, bin-top-1) and v2
+    # (fused_scan2, column-max accumulation) — v2's scan-stage recall
+    # decays at multi-million N (0.9398 at 2M int8), so its rerank
+    # candidate depth must be chosen from ITS recall curve, not v1's.
+    strategies = (("kernel", True, "full"), ("resid", True, "residual"))
+    for scan2 in (False, True):
+        tag = "_v2" if scan2 else ""
+        for r in (32, 64, 128):
+            row = {}
+            for strat, uk, mode in (("recall", False, "full"),
+                                    ("recall_resid", False, "residual")):
+                _, mi = int8_scan_rerank_topk(
+                    gate_q, v_i8, v_s, r_i8, r_s, jnp.int32(n), k=K, r=r,
+                    bn=bn, use_kernel=uk, mode=mode, scan2=scan2)
+                row[strat] = round(eps_recall(np.asarray(mi)), 4)
+            for b in (1, 1024):
+                for strat, uk, mode in strategies:
+                    try:
+                        ms = inloop_ms(b, r, uk, mode, scan2)
+                        row[f"b{b}_{strat}_ms"] = round(ms, 2)
+                    except Exception as exc:  # noqa: BLE001
+                        row[f"b{b}_{strat}_ms"] = f"FAIL {str(exc)[:80]}"
+                log(f"scan2={scan2} R={r} B={b}: "
+                    f"{json.dumps({k2: v for k2, v in row.items() if str(b) in k2 or 'recall' in k2})}")
+            out[f"r{r}{tag}"] = row
+            with open(RESULTS, "w") as f:   # progressive: crash keeps rows
+                json.dump(out, f, indent=2)
 
-    # Scan-only baseline for the delta.
+    # Scan-only baselines (v1 and v2) for the rerank-overhead delta.
     from sqe_tpu.ops.fused_scan import fused_scan_topk_int8
+    from sqe_tpu.ops.fused_scan2 import fused_scan2_topk_int8
 
-    def scan_only_ms(b):
+    def scan_only_ms(b, scan2=False):
         q = queries[:b]
 
-        @jax.jit
-        def run(q, vi, vs):
+        @functools.partial(jax.jit, static_argnames=("s2",))
+        def run(q, vi, vs, *, s2):
             def body(i, acc):
-                ms, mi = fused_scan_topk_int8(
-                    q + 1e-6 * i, vi, vs, jnp.int32(n), k=K, bn=bn)
+                if s2:
+                    ms, mi = fused_scan2_topk_int8(
+                        q + 1e-6 * i, vi, vs, jnp.int32(n), k=K)
+                else:
+                    ms, mi = fused_scan_topk_int8(
+                        q + 1e-6 * i, vi, vs, jnp.int32(n), k=K, bn=bn)
                 return acc + ms.sum() + mi.sum().astype(jnp.float32)
             return jax.lax.fori_loop(0, R_LOOP, body, 0.0)
 
-        np.asarray(run(q, v_i8, v_s))
+        np.asarray(run(q, v_i8, v_s, s2=scan2))
         best = float("inf")
         for _ in range(4):
             t0 = time.perf_counter()
-            np.asarray(run(q, v_i8, v_s))
+            np.asarray(run(q, v_i8, v_s, s2=scan2))
             best = min(best, (time.perf_counter() - t0) / R_LOOP)
         return best * 1e3
 
     out["scan_only"] = {f"b{b}_ms": round(scan_only_ms(b), 2)
-                        for b in (1, 64, 1024)}
+                        for b in (1, 1024)}
+    out["scan_only_v2"] = {f"b{b}_ms": round(scan_only_ms(b, True), 2)
+                           for b in (1, 1024)}
     log(json.dumps(out))
     with open(RESULTS, "w") as f:
         json.dump(out, f, indent=2)

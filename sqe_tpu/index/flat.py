@@ -306,7 +306,7 @@ class FlatIndex:
         exact: bool = True,
         scan_impl: str = "auto",
         rerank: Optional[bool] = None,
-        rerank_depth: int = 128,
+        rerank_depth: int = 32,
     ):
         """``exact=True`` scores at Precision.HIGHEST (the ground-truth oracle
         mode); ``exact=False`` uses the MXU's native bf16-pass f32 matmul —
@@ -315,12 +315,19 @@ class FlatIndex:
 
         ``scan_impl`` selects the serving scan for ``exact=False``:
         ``"fused"`` = the Pallas fused matmul+bin-top-1 kernel
-        (ops/fused_scan.py — never writes scores to HBM; the fastest path,
-        measured at the raw-matmul bound, DESIGN.md §8), ``"fused2"`` = the
-        v2 column-max-accumulation kernel (ops/fused_scan2.py — no
-        cross-lane work in the hot loop; ROADMAP #0), ``"blocked"`` = the
-        XLA blocked scan, ``"auto"`` = fused on TPU when shapes allow, else
-        blocked. The oracle mode always uses the blocked exact scan.
+        (ops/fused_scan.py — never writes scores to HBM), ``"fused2"`` =
+        the v2 column-max-accumulation kernel (ops/fused_scan2.py — no
+        cross-lane work in the hot loop; 5.9x v1 at 2M rows, B=1024,
+        scripts/rerank_ab_results.json), ``"blocked"`` = the XLA blocked
+        scan, ``"auto"`` = measured-surface routing on TPU when shapes
+        allow, else blocked. Auto prefers v2 for the int8+rerank serving
+        path — the rerank stage restores the recall v2's residue-class
+        binning sheds at multi-million N (0.9984 at 2M with R=32 vs
+        0.9992 for v1, both over the >=0.95 gate) — and keeps v1 for
+        bf16/scan-only modes, whose v2 recall decays below the gate at
+        4M (0.9211, scripts/fused_ab_large_results.json) with no rerank
+        stage to recover it. The oracle mode always uses the blocked
+        exact scan.
 
         ``dtype=jnp.int8`` stores symmetric per-row-quantized vectors plus
         f32 row scales: half the HBM of bf16 and the int8 MXU rate via the
@@ -510,8 +517,10 @@ class FlatIndex:
 
     def _rerank_r(self, k_eff: int) -> int:
         """Candidate depth for the rerank stage: enough that the true top-k
-        survives int8 selection noise (measured in DESIGN §8d), clamped to
-        the index size."""
+        survives int8 selection noise, clamped to the index size. The 2M
+        R-sweep (scripts/rerank_ab_results.json) measured recall FLAT across
+        R=32..128 for both scans (v1 0.9992, v2 0.9984) while B=1024 cost
+        grows ~18%/R-doubling — depth 32 is the knee."""
         return max(k_eff, min(self.rerank_depth, self._n))
 
     def scan_plan(self, k_eff: int) -> Tuple[str, int]:
@@ -526,10 +535,14 @@ class FlatIndex:
             # Capacity grows in powers of two; fall back to the largest
             # power-of-two block that divides it.
             block = 1 << (min(self.block_n, length).bit_length() - 1)
+        # Auto routes int8+rerank through the v2 scan (5.9x v1 at 2M,
+        # recall restored by the rerank stage — see __init__ docstring);
+        # everything else keeps v1 under auto. "fused2" forces v2.
         v2 = self.scan_impl == "fused2"
         if self._int8 and self._use_fused(length, k_eff):
             if self.rerank:
-                return ("int8_rerank2" if v2 else "int8_rerank"), block
+                v2_auto = v2 or self.scan_impl == "auto"
+                return ("int8_rerank2" if v2_auto else "int8_rerank"), block
             return ("int8_2" if v2 else "int8"), block
         if self._use_fused(length, k_eff):
             return ("fused2" if v2 else "fused"), block

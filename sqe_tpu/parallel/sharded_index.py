@@ -129,7 +129,7 @@ class ShardedFlatIndex:
         vector_dtype: Any = jnp.float32,
         scan_impl: str = "auto",
         storage: str = "dense",
-        rerank_depth: int = 128,
+        rerank_depth: int = 32,
     ):
         """``vector_dtype=jnp.bfloat16`` + ``scan_impl="auto"`` runs each
         shard's scan through the fused Pallas kernel on TPU (DESIGN.md §2b);
@@ -142,7 +142,10 @@ class ShardedFlatIndex:
         memory parity, bf16-class recall), searched per shard with the fused
         int8 scan -> top-``rerank_depth`` -> residual rerank, merged across
         shards exactly like dense storage. This is the beyond-HBM
-        composition: ~8M rows/chip/plane at 1024-d times the mesh width."""
+        composition: ~8M rows/chip/plane at 1024-d times the mesh width.
+        ``rerank_depth`` defaults to 32 from the 2M R-sweep
+        (scripts/rerank_ab_results.json): recall is flat across R=32..128
+        while batched cost grows ~18% per R-doubling."""
         assert scan_impl in ("auto", "blocked")
         assert storage in ("dense", "int8_rerank")
         self.mesh = mesh
