@@ -104,6 +104,12 @@ def _fit_lm(argv: list) -> None:
     flags = {"lm_steps": 3000, "lm_lr": 3e-4, "lm_batch": 32,
              "lm_seq_len": 256, "lm_d_model": 384, "lm_layers": 4,
              "lm_heads": 6, "lm_d_ff": 1536,
+             # Architecture for the citation contract (round-4 diagnosis,
+             # models/decoder.py DecoderConfig docstring): RoPE gives the
+             # copy/induction circuit relative offsets; the pointer-
+             # generator head makes extractive copying a one-layer circuit.
+             # Old checkpoints (trained without these) still load and serve.
+             "lm_pos_enc": "rope", "lm_pointer": 1,
              # Grounded-answer instruction phase (train/lm_sft.py): teaches
              # the serve-time contract (extract + cite 'Document <id>',
              # refuse without context). 0 disables.
@@ -147,6 +153,7 @@ def _fit_lm(argv: list) -> None:
         d_model=flags["lm_d_model"], n_layers=flags["lm_layers"],
         n_heads=flags["lm_heads"], d_ff=flags["lm_d_ff"],
         max_len=max(flags["lm_seq_len"] * 4, 1024),
+        pos_enc=flags["lm_pos_enc"], pointer=bool(flags["lm_pointer"]),
     )
     lm_dir = os.path.join(cfg.checkpoint_dir, "lm")
     params, losses = fit_lm(

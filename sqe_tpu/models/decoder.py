@@ -32,12 +32,35 @@ Params = Dict[str, Any]
 
 
 class DecoderConfig:
-    """Hyperparameters (plain class: hashable static arg for jit)."""
+    """Hyperparameters (plain class: hashable static arg for jit).
+
+    ``pos_enc="rope"`` rotates q/k by position (rotary embedding) instead of
+    adding a learned absolute-position table. The round-4 diagnosis of the
+    failing citation contract (ckpt_trained/lm/lm_eval.json, cites 0.047)
+    found the SFT'd model never learned to COPY from its context —
+    teacher-forced content-token probability ~0.0 while the citation tail
+    scored p=0.93 — and the copy/induction circuit is a *relative*-offset
+    attention pattern ("attend one past the previous occurrence") that
+    learned absolute positions must assemble position-by-position; RoPE
+    gives it directly.
+
+    ``pointer=True`` adds a pointer-generator copy head (See et al. 2017):
+    the output distribution is ``p_gen * softmax(lm_head) + (1 - p_gen) *
+    copy``, where ``copy`` is an attention distribution over the sequence's
+    positions scattered onto the vocab ids sitting at those positions. For
+    the serve contract — extract the answer span from retrieved context and
+    cite it (app/main.py:519-528) — copying is the *primary* operation, and
+    the pointer makes it a one-layer circuit instead of an emergent
+    capability a 6-layer word LM never develops. Old checkpoints (no such
+    keys in model_cfg) load with both features off.
+    """
 
     def __init__(self, vocab_size: int = 32768, d_model: int = 384,
                  n_layers: int = 4, n_heads: int = 6, d_ff: int = 1536,
                  max_len: int = 1024, dtype: str = "bfloat16",
-                 param_dtype: str = "float32", seed: int = 0):
+                 param_dtype: str = "float32", seed: int = 0,
+                 pos_enc: str = "learned", pointer: bool = False):
+        assert pos_enc in ("learned", "rope")
         self.vocab_size = vocab_size
         self.d_model = d_model
         self.n_layers = n_layers
@@ -47,6 +70,8 @@ class DecoderConfig:
         self.dtype = dtype
         self.param_dtype = param_dtype
         self.seed = seed
+        self.pos_enc = pos_enc
+        self.pointer = bool(pointer)
 
     @property
     def head_dim(self) -> int:
@@ -56,7 +81,7 @@ class DecoderConfig:
     def _key(self):
         return (self.vocab_size, self.d_model, self.n_layers, self.n_heads,
                 self.d_ff, self.max_len, self.dtype, self.param_dtype,
-                self.seed)
+                self.seed, self.pos_enc, self.pointer)
 
     def __hash__(self):
         return hash(self._key())
@@ -67,7 +92,8 @@ class DecoderConfig:
     def to_dict(self) -> dict:
         return {k: getattr(self, k) for k in
                 ("vocab_size", "d_model", "n_layers", "n_heads", "d_ff",
-                 "max_len", "dtype", "param_dtype", "seed")}
+                 "max_len", "dtype", "param_dtype", "seed", "pos_enc",
+                 "pointer")}
 
 
 def head_tail_truncate(toks: list, budget: int) -> list:
@@ -89,7 +115,7 @@ def init_decoder_params(cfg: DecoderConfig,
                         key: Optional[jax.Array] = None) -> Params:
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
-    keys = iter(jax.random.split(key, 4 + 8 * cfg.n_layers))
+    keys = iter(jax.random.split(key, 6 + 8 * cfg.n_layers))
     dm, dff = cfg.d_model, cfg.d_ff
     pdtype = jnp.dtype(cfg.param_dtype)
 
@@ -107,6 +133,13 @@ def init_decoder_params(cfg: DecoderConfig,
         "lm_head": dense(next(keys), dm, cfg.vocab_size),
         "layers": [],
     }
+    if cfg.pointer:
+        # Pointer-generator copy head: query projection over final hidden
+        # states + a scalar gate. Gate bias starts at 0 (p_gen = 0.5) so
+        # neither mixture component is frozen out at init.
+        params["ptr_q"] = dense(next(keys), dm, dm)
+        params["ptr_gate"] = {"w": dense(next(keys), dm, 1),
+                              "b": jnp.zeros((1,), pdtype)}
     for _ in range(cfg.n_layers):
         params["layers"].append({
             "ln1": {"scale": jnp.ones((dm,), pdtype),
@@ -139,24 +172,80 @@ def _split_heads(x, n_heads):
     return x.reshape(b, l, n_heads, dm // n_heads).transpose(0, 2, 1, 3)
 
 
-def decoder_forward(
-    params: Params,
-    ids: jax.Array,      # [B, L] int32
-    *,
-    cfg: DecoderConfig,
-) -> jax.Array:
-    """Full-sequence causal forward -> logits [B, L, V] (teacher forcing /
-    oracle path; training uses this)."""
+def _rope(x: jax.Array, positions: jax.Array) -> jax.Array:
+    """Rotary position embedding over the last axis (head_dim, must be
+    even). ``positions`` must broadcast against ``x.shape[:-1]``; rotation
+    happens in f32 and the result is cast back to ``x.dtype``. Cached keys
+    are rotated at write time, so q·k under RoPE depends only on the
+    RELATIVE offset — the property the copy/induction circuit needs."""
+    half = x.shape[-1] // 2
+    freqs = 1.0 / (10000.0 ** (jnp.arange(half, dtype=jnp.float32) / half))
+    angles = positions[..., None].astype(jnp.float32) * freqs
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+    ).astype(x.dtype)
+
+
+def _pointer_mix_full(x_final, gen_logits, ids, params, cfg,
+                      key_mask=None):
+    """Full-vocabulary pointer-generator mixture -> log-probs [B, L, V].
+
+    Materializes a second [B, L, V] plane (the copy distribution), so this
+    is the ORACLE/test/decode-prefill path; training uses the
+    target-indexed ``forward_target_log_probs`` which never builds it.
+    ``key_mask`` [B, L] (True = attendable) masks padding keys on top of
+    the causal mask."""
+    attn = _pointer_attn(x_final, params, cfg, key_mask)      # [B, Q, K]
+    onehot = jax.nn.one_hot(ids, cfg.vocab_size, dtype=jnp.float32)
+    copy_p = jnp.einsum("bqk,bkv->bqv", attn, onehot)
+    p_gen = _pointer_gate(x_final, params)                    # [B, L, 1]
+    gen_p = jax.nn.softmax(gen_logits, axis=-1)
+    return jnp.log(p_gen * gen_p + (1.0 - p_gen) * copy_p + 1e-9)
+
+
+def _pointer_attn(x_final, params, cfg, key_mask=None):
+    """Causal pointer attention over final hidden states -> [B, Q, K]."""
+    xf = x_final.astype(jnp.float32)
+    pq = xf @ params["ptr_q"].astype(jnp.float32) / np.sqrt(cfg.d_model)
+    scores = jnp.einsum("bqd,bkd->bqk", pq, xf)
+    l = x_final.shape[1]
+    pos = jnp.arange(l)
+    mask = pos[None, :] <= pos[:, None]                       # [Q, K] causal
+    mask = mask[None]
+    if key_mask is not None:
+        mask = mask & key_mask[:, None, :]
+    return jax.nn.softmax(jnp.where(mask, scores, -jnp.inf), axis=-1)
+
+
+def _pointer_gate(x_final, params):
+    """p_gen in (0, 1): how much of the next-token distribution comes from
+    the generator head vs the copy head. Shape [..., 1]."""
+    g = (x_final.astype(jnp.float32)
+         @ params["ptr_gate"]["w"].astype(jnp.float32)
+         + params["ptr_gate"]["b"].astype(jnp.float32))
+    return jax.nn.sigmoid(g)
+
+
+def _backbone(params, ids, cfg) -> jax.Array:
+    """Full-sequence causal transformer -> final hidden states [B, L, dm]
+    (post final_ln). Shared by decoder_forward and the training losses."""
     dtype = jnp.dtype(cfg.dtype)
     b, l = ids.shape
-    x = params["tok_emb"][ids].astype(dtype) \
-        + params["pos_emb"][:l][None].astype(dtype)
+    x = params["tok_emb"][ids].astype(dtype)
+    if cfg.pos_enc == "learned":
+        x = x + params["pos_emb"][:l][None].astype(dtype)
+    rope_pos = jnp.arange(l)[None, None]                  # [1, 1, L]
     causal = jnp.tril(jnp.ones((l, l), jnp.bool_))
     for layer in params["layers"]:
         h = _ln(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
         q = _split_heads(h @ layer["wq"].astype(dtype), cfg.n_heads)
         k = _split_heads(h @ layer["wk"].astype(dtype), cfg.n_heads)
         v = _split_heads(h @ layer["wv"].astype(dtype), cfg.n_heads)
+        if cfg.pos_enc == "rope":
+            q, k = _rope(q, rope_pos), _rope(k, rope_pos)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / np.sqrt(cfg.head_dim)
@@ -170,9 +259,54 @@ def decoder_forward(
         h = jax.nn.gelu(h @ layer["w1"].astype(dtype)
                         + layer["b1"].astype(dtype))
         x = x + h @ layer["w2"].astype(dtype) + layer["b2"].astype(dtype)
-    x = _ln(x, params["final_ln"]["scale"], params["final_ln"]["bias"])
-    return (x.astype(jnp.float32)
-            @ params["lm_head"].astype(jnp.float32))       # [B, L, V] f32
+    return _ln(x, params["final_ln"]["scale"], params["final_ln"]["bias"])
+
+
+def decoder_forward(
+    params: Params,
+    ids: jax.Array,      # [B, L] int32
+    *,
+    cfg: DecoderConfig,
+) -> jax.Array:
+    """Full-sequence causal forward -> [B, L, V] f32 (teacher forcing /
+    oracle path). For ``cfg.pointer`` the return is the mixture's
+    LOG-PROBABILITIES (normalized, so argmax/top-k/CE semantics are
+    unchanged) and a second [B, L, V] plane is materialized — fine for
+    tests and oracles; training goes through forward_target_log_probs."""
+    x = _backbone(params, ids, cfg)
+    logits = (x.astype(jnp.float32)
+              @ params["lm_head"].astype(jnp.float32))     # [B, L, V] f32
+    if not cfg.pointer:
+        return logits
+    return _pointer_mix_full(x, logits, ids, params, cfg)
+
+
+def forward_target_log_probs(
+    params: Params,
+    ids: jax.Array,        # [B, L+1] int32 (inputs = [:, :-1], targets = [:, 1:])
+    *,
+    cfg: DecoderConfig,
+) -> jax.Array:
+    """log p(target_t | prefix) for every position -> [B, L] f32.
+
+    The training-loss path: for pointer models the copy term is evaluated
+    ONLY at the target token — ``sum_j attn[t, j] * [ids[j] == target_t]``
+    via a [B, L, L] match mask — so no second [B, L, V] plane exists and
+    the SFT batch fits HBM at the same batch size as the plain LM."""
+    inputs, targets = ids[:, :-1], ids[:, 1:]
+    x = _backbone(params, inputs, cfg)
+    logits = (x.astype(jnp.float32)
+              @ params["lm_head"].astype(jnp.float32))
+    gen_lp = jax.nn.log_softmax(logits, axis=-1)
+    gen_lp_t = jnp.take_along_axis(gen_lp, targets[..., None], axis=-1)[..., 0]
+    if not cfg.pointer:
+        return gen_lp_t
+    attn = _pointer_attn(x, params, cfg)                   # [B, Q, K]
+    match = (inputs[:, None, :] == targets[:, :, None])    # [B, Q, K]
+    copy_p_t = jnp.sum(attn * match, axis=-1)              # [B, Q]
+    p_gen = _pointer_gate(x, params)[..., 0]               # [B, L]
+    return jnp.log(p_gen * jnp.exp(gen_lp_t)
+                   + (1.0 - p_gen) * copy_p_t + 1e-9)
 
 
 # -------------------------------------------------------------- KV-cache decode
@@ -181,7 +315,15 @@ def decoder_forward(
 def init_kv_cache(cfg: DecoderConfig, batch: int = 1) -> Params:
     dtype = jnp.dtype(cfg.dtype)
     shape = (cfg.n_layers, batch, cfg.n_heads, cfg.max_len, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if cfg.pointer:
+        # Pointer planes: the final hidden state and token id at every
+        # position, so each decode step can attend over (and copy from)
+        # the whole sequence so far. ~max_len*dm*2 bytes — negligible
+        # beside the KV planes.
+        cache["ptr_h"] = jnp.zeros((batch, cfg.max_len, cfg.d_model), dtype)
+        cache["ids"] = jnp.zeros((batch, cfg.max_len), jnp.int32)
+    return cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
@@ -195,11 +337,14 @@ def prefill(
 ) -> Tuple[Params, jax.Array]:
     """Run the prompt through the model, filling the KV cache. Returns
     (cache, last_logits [B, V]) where last_logits correspond to each row's
-    final REAL token."""
+    final REAL token. For pointer configs last_logits are the mixture's
+    log-probs (same argmax/top-k semantics) and the pointer planes
+    (ptr_h/ids) are filled alongside k/v."""
     dtype = jnp.dtype(cfg.dtype)
     b, l = ids.shape
-    x = params["tok_emb"][ids].astype(dtype) \
-        + params["pos_emb"][:l][None].astype(dtype)
+    x = params["tok_emb"][ids].astype(dtype)
+    if cfg.pos_enc == "learned":
+        x = x + params["pos_emb"][:l][None].astype(dtype)
     pos = jnp.arange(l)
     causal = pos[None, :] <= pos[:, None]                     # [L, L]
     pad_ok = (pos[None, :] < length[:, None])                 # [B, L] keys
@@ -208,6 +353,8 @@ def prefill(
         q = _split_heads(h @ layer["wq"].astype(dtype), cfg.n_heads)
         k = _split_heads(h @ layer["wk"].astype(dtype), cfg.n_heads)
         v = _split_heads(h @ layer["wv"].astype(dtype), cfg.n_heads)
+        if cfg.pos_enc == "rope":
+            q, k = _rope(q, pos[None, None]), _rope(k, pos[None, None])
         cache["k"] = cache["k"].at[li, :, :, :l].set(k)
         cache["v"] = cache["v"].at[li, :, :, :l].set(v)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -229,7 +376,31 @@ def prefill(
         x, (length - 1)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]                                                   # [B, dm]
     logits = last.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+    if cfg.pointer:
+        cache["ptr_h"] = cache["ptr_h"].at[:, :l].set(x.astype(dtype))
+        cache["ids"] = cache["ids"].at[:, :l].set(ids)
+        logits = _pointer_mix_step(last, logits, cache, length - 1, cfg,
+                                   params)
     return cache, logits
+
+
+def _pointer_mix_step(x_last, gen_logits, cache, pos, cfg, params):
+    """Single-step pointer mixture -> log-probs [B, V]. Attends over the
+    cached pointer plane at key positions <= ``pos`` (each row's current
+    position) and scatters onto the cached token ids."""
+    b = x_last.shape[0]
+    xf = x_last.astype(jnp.float32)
+    pq = xf @ params["ptr_q"].astype(jnp.float32) / np.sqrt(cfg.d_model)
+    keys = cache["ptr_h"].astype(jnp.float32)                 # [B, M, dm]
+    scores = jnp.einsum("bd,bkd->bk", pq, keys)
+    valid = jnp.arange(cfg.max_len)[None, :] <= pos[:, None]
+    attn = jax.nn.softmax(jnp.where(valid, scores, -jnp.inf), axis=-1)
+    copy_p = jnp.zeros((b, cfg.vocab_size), jnp.float32).at[
+        jnp.arange(b)[:, None], cache["ids"]
+    ].add(jnp.where(valid, attn, 0.0))
+    p_gen = _pointer_gate(x_last, params)                     # [B, 1]
+    gen_p = jax.nn.softmax(gen_logits, axis=-1)
+    return jnp.log(p_gen * gen_p + (1.0 - p_gen) * copy_p + 1e-9)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
@@ -251,14 +422,17 @@ def _decode_step_body(params, token, cache, pos, cfg):
     decode_chunk (lax.scan: one dispatch per N tokens)."""
     dtype = jnp.dtype(cfg.dtype)
     b = token.shape[0]
-    x = params["tok_emb"][token].astype(dtype) \
-        + params["pos_emb"][pos].astype(dtype)                # [B, dm]
+    x = params["tok_emb"][token].astype(dtype)                # [B, dm]
+    if cfg.pos_enc == "learned":
+        x = x + params["pos_emb"][pos].astype(dtype)
     key_pos = jnp.arange(cfg.max_len)
     for li, layer in enumerate(params["layers"]):
         h = _ln(x[:, None], layer["ln1"]["scale"], layer["ln1"]["bias"])[:, 0]
         q = (h @ layer["wq"].astype(dtype)).reshape(b, cfg.n_heads, cfg.head_dim)
         k = (h @ layer["wk"].astype(dtype)).reshape(b, cfg.n_heads, cfg.head_dim)
         v = (h @ layer["wv"].astype(dtype)).reshape(b, cfg.n_heads, cfg.head_dim)
+        if cfg.pos_enc == "rope":
+            q, k = _rope(q, pos[:, None]), _rope(k, pos[:, None])
         cache["k"] = cache["k"].at[li, jnp.arange(b), :, pos].set(k)
         cache["v"] = cache["v"].at[li, jnp.arange(b), :, pos].set(v)
         scores = jnp.einsum("bhd,bhkd->bhk", q, cache["k"][li],
@@ -277,6 +451,11 @@ def _decode_step_body(params, token, cache, pos, cfg):
     x = _ln(x[:, None], params["final_ln"]["scale"],
             params["final_ln"]["bias"])[:, 0]
     logits = x.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+    if cfg.pointer:
+        cache["ptr_h"] = cache["ptr_h"].at[jnp.arange(b), pos].set(
+            x.astype(jnp.dtype(cfg.dtype)))
+        cache["ids"] = cache["ids"].at[jnp.arange(b), pos].set(token)
+        logits = _pointer_mix_step(x, logits, cache, pos, cfg, params)
     return cache, logits
 
 
@@ -314,7 +493,10 @@ def decode_chunk(
     n_tokens: int,
     top_k: int = 40,
     pad_id: int = 0,
-) -> Tuple[Params, jax.Array, jax.Array, jax.Array, jax.Array]:
+    logit_bias: Optional[jax.Array] = None,   # [V] additive, f32
+    rep_penalty: Optional[jax.Array] = None,  # scalar f32
+    counts: Optional[jax.Array] = None,       # [B, V] f32 emitted-token counts
+) -> Tuple[jax.Array, ...]:
     """``n_tokens`` autoregressive steps in ONE device program.
 
     The per-token decode loop costs one device round-trip per word — ~29 ms
@@ -327,14 +509,39 @@ def decode_chunk(
     chunked output is bit-identical to the step-by-step loop for the same
     seed; gated in tests/test_decoder.py).
 
-    Returns (cache, logits, pos, key, tokens [B, n_tokens]).
+    Constrained-decode controls (all optional; defaults reproduce the
+    unconstrained behavior bit-for-bit):
+
+    - ``logit_bias`` [V]: added to logits before sampling every step — the
+      serve path puts -1e9 on citation-marker ids with no mapped slot for
+      this prompt so a hallucinated marker can never be sampled
+      (serving/citations.py).
+    - ``rep_penalty`` + ``counts``: per-step ``rep_penalty * counts[tok]``
+      is subtracted before sampling and counts increment with each emitted
+      token. Word-level greedy decode degenerates into repetition loops
+      without this (round-4 lm_eval samples); the penalty carries ACROSS
+      chunk calls because counts are returned updated.
+
+    Returns (cache, logits, pos, key, tokens [B, n_tokens]) — with
+    ``counts`` appended when rep_penalty is active. The carried ``logits``
+    stay raw (un-penalized); constraints apply at sampling time only.
     """
+    track = counts is not None
+
     def step(carry, _):
-        cache, logits, pos, key, done = carry
+        cache, logits, pos, key, done, cnts = carry
         key, sub = jax.random.split(key)
-        tok = _sample_body(logits, sub, temperature, top_k)
+        adj = logits
+        if logit_bias is not None:
+            adj = adj + logit_bias
+        if track:
+            adj = adj - rep_penalty * cnts
+        tok = _sample_body(adj, sub, temperature, top_k)
         done = done | (tok == pad_id) | (pos >= cfg.max_len)
         tok = jnp.where(done, jnp.int32(pad_id), tok)
+        if track:
+            live = (~done).astype(jnp.float32)
+            cnts = cnts.at[jnp.arange(tok.shape[0]), tok].add(live)
         # Frozen rows still compute (uniform control flow) but write their
         # PAD k/v at the frozen position — a slot past their last real
         # token that is never attended to by kept tokens.
@@ -342,14 +549,16 @@ def decode_chunk(
         cache, new_logits = _decode_step_body(params, tok, cache, write_pos, cfg)
         logits = jnp.where(done[:, None], logits, new_logits)
         pos = jnp.where(done, pos, pos + 1)
-        return (cache, logits, pos, key, done), tok
+        return (cache, logits, pos, key, done, cnts), tok
 
     b = logits.shape[0]
     done0 = jnp.zeros((b,), jnp.bool_)
-    (cache, logits, pos, key, _), toks = jax.lax.scan(
-        step, (cache, logits, pos, key, done0), None, length=n_tokens
+    cnts0 = counts if track else jnp.zeros((b, 1), jnp.float32)
+    (cache, logits, pos, key, _, cnts), toks = jax.lax.scan(
+        step, (cache, logits, pos, key, done0, cnts0), None, length=n_tokens
     )
-    return cache, logits, pos, key, toks.T  # [B, n_tokens]
+    out = (cache, logits, pos, key, toks.T)   # tokens [B, n_tokens]
+    return out + ((cnts,) if track else ())
 
 
 def decoder_params_from_leaves(cfg: DecoderConfig, leaves) -> Params:

@@ -216,7 +216,7 @@ class TPUDecoderBackend:
 
     def __init__(self, params, cfg, tokenizer, device=None,
                  max_new_tokens: int = 96, temperature: float = 0.0,
-                 top_k: int = 40, seed: int = 0):
+                 top_k: int = 40, seed: int = 0, rep_penalty: float = 0.5):
         # temperature 0.0 (greedy) by default: the contract is extractive,
         # citation-bearing answering (app/main.py:519-528); sampling only
         # degrades format compliance for a small corpus LM.
@@ -236,10 +236,17 @@ class TPUDecoderBackend:
         self._marker_slot = {
             marker_ids[w]: slot for slot, w in enumerate(MARKER_WORDS)
         }
+        self._slot_marker_id = {s: t for t, s in self._marker_slot.items()}
         self.inverse = build_inverse_vocab(tokenizer)
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
         self.top_k = top_k
+        # Frequency penalty on EMITTED tokens (prompt tokens are exempt —
+        # extractive answers legitimately reuse context words): greedy
+        # word-level decode degenerates into repetition loops without it
+        # (round-4 lm_eval samples). Applied at sample time inside
+        # decode_chunk; 0.0 restores unconstrained decoding bit-for-bit.
+        self.rep_penalty = rep_penalty
         self._key = jax.random.PRNGKey(seed)
         self._lock = asyncio.Lock()   # one decode loop at a time per cache
 
@@ -274,18 +281,32 @@ class TPUDecoderBackend:
         cache, logits = prefill(self.params, jnp.asarray(ids), cache,
                                 jnp.asarray([length], jnp.int32), cfg=self.cfg)
         dispatch.program("lm_prefill")
+        # Constrained decode (decode_chunk docstring): marker ids with no
+        # mapped slot for THIS prompt get -1e9 — a hallucinated citation
+        # slot can never be sampled, closing the round-3 advisor finding
+        # at the source rather than only suppressing it at render time.
+        bias = np.zeros(self.cfg.vocab_size, np.float32)
+        for slot, tid in self._slot_marker_id.items():
+            if slot >= len(slots):
+                bias[tid] = -1e9
+        logit_bias = jnp.asarray(bias)
+        rep = jnp.float32(self.rep_penalty)
+        counts = jnp.zeros((1, self.cfg.vocab_size), jnp.float32)
         # Chunked decode: N tokens per device program (lax.scan) instead of
         # one dispatch per token — a 96-token answer costs 6 round-trips,
         # not 96 (~29 ms each through the dev tunnel). Output is
-        # bit-identical to the per-token loop (decode_chunk docstring).
+        # bit-identical to the per-token loop (decode_chunk docstring);
+        # the emitted-token counts carry ACROSS chunks so the repetition
+        # penalty sees the whole answer so far.
         pos = jnp.asarray([length], jnp.int32)
         emitted = 0
         while emitted < self.max_new_tokens:
             n = min(self.DECODE_CHUNK, self.max_new_tokens - emitted)
-            cache, logits, pos, self._key, toks_dev = decode_chunk(
+            cache, logits, pos, self._key, toks_dev, counts = decode_chunk(
                 self.params, cache, logits, pos, self._key,
                 jnp.float32(self.temperature),
                 cfg=self.cfg, n_tokens=n, top_k=self.top_k, pad_id=PAD_ID,
+                logit_bias=logit_bias, rep_penalty=rep, counts=counts,
             )
             dispatch.program("lm_decode_chunk")
             toks_np = np.asarray(toks_dev)[0]
@@ -310,7 +331,13 @@ class TPUDecoderBackend:
             slot = self._marker_slot.get(int(tid))
             if slot is not None:
                 if slot < len(slots):
-                    emit(slots[slot] + " ")   # citemarkN -> real doc id
+                    # citemarkN -> real doc id, extensionless (rule 1:
+                    # "never include .txt"; the serve prompt's section
+                    # headers carry the raw filename stem).
+                    doc = slots[slot]
+                    if doc.endswith(".txt"):
+                        doc = doc[:-4]
+                    emit(doc + " ")
                 # Unmapped marker (hallucinated slot beyond this prompt's
                 # table, or echoed from a capped section): suppress it —
                 # the internal marker word must never reach a served answer

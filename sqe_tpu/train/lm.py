@@ -21,7 +21,11 @@ import optax
 
 from sqe_tpu.data.corpus import Chunk
 from sqe_tpu.data.tokenizer import PAD_ID
-from sqe_tpu.models.decoder import DecoderConfig, decoder_forward, init_decoder_params
+from sqe_tpu.models.decoder import (
+    DecoderConfig,
+    forward_target_log_probs,
+    init_decoder_params,
+)
 from sqe_tpu.utils.logging import get_logger
 
 log = get_logger("train.lm")
@@ -71,15 +75,20 @@ def lm_batches(
 
 def lm_loss(params, ids: jax.Array, *, cfg: DecoderConfig) -> jax.Array:
     """Next-token CE; positions after the first PAD-after-text are masked
-    except the FIRST pad (the EOS target)."""
+    except the FIRST pad (the EOS target).
+
+    Goes through the target-indexed log-prob path
+    (models/decoder.py::forward_target_log_probs): identical CE for plain
+    configs, and for ``cfg.pointer`` it evaluates the copy mixture at the
+    target only — no second [B, L, V] plane, so pointer training fits HBM
+    at the same batch size."""
     inputs, targets = ids[:, :-1], ids[:, 1:]
-    logits = decoder_forward(params, inputs, cfg=cfg)
+    lp = forward_target_log_probs(params, ids, cfg=cfg)
     real = (targets != PAD_ID)
     # include one EOS position per row: a PAD whose predecessor is real
     eos = (targets == PAD_ID) & (inputs != PAD_ID)
     weight = (real | eos).astype(jnp.float32)
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
-    return jnp.sum(ce * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+    return -jnp.sum(lp * weight) / jnp.maximum(jnp.sum(weight), 1.0)
 
 
 def fit_lm(

@@ -45,7 +45,7 @@ from sqe_tpu.data.corpus import Chunk
 from sqe_tpu.data.tokenizer import PAD_ID
 from sqe_tpu.models.decoder import (
     DecoderConfig,
-    decoder_forward,
+    forward_target_log_probs,
     head_tail_truncate,
 )
 from sqe_tpu.utils.logging import get_logger
@@ -169,11 +169,15 @@ def sft_batches(
 
 def sft_loss(params, ids: jax.Array, weights: jax.Array,
              *, cfg: DecoderConfig) -> jax.Array:
-    """Next-token CE masked to the answer span (weights)."""
-    inputs, targets = ids[:, :-1], ids[:, 1:]
-    logits = decoder_forward(params, inputs, cfg=cfg)
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
-    return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+    """Next-token CE masked to the answer span (weights).
+
+    Target-indexed path (models/decoder.py::forward_target_log_probs):
+    for ``cfg.pointer`` the copy mixture is scored at the target token
+    directly, so the extractive SFT objective — copy the answer sentence
+    out of the rendered context — trains the pointer head without ever
+    materializing a [B, L, V] copy plane."""
+    lp = forward_target_log_probs(params, ids, cfg=cfg)
+    return -jnp.sum(lp * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
 def fit_lm_sft(

@@ -121,6 +121,141 @@ def test_decode_chunk_matches_per_token_loop():
         assert run_chunked(chunk) == expect, f"chunk={chunk}"
 
 
+ROPE_PTR_CFG = DecoderConfig(vocab_size=256, d_model=64, n_layers=2,
+                             n_heads=2, d_ff=128, max_len=32,
+                             dtype="float32", pos_enc="rope", pointer=True)
+
+
+@pytest.mark.parametrize("cfg", [
+    DecoderConfig(vocab_size=256, d_model=64, n_layers=2, n_heads=2,
+                  d_ff=128, max_len=32, dtype="float32", pos_enc="rope"),
+    DecoderConfig(vocab_size=256, d_model=64, n_layers=2, n_heads=2,
+                  d_ff=128, max_len=32, dtype="float32", pointer=True),
+    ROPE_PTR_CFG,
+], ids=["rope", "pointer", "rope+pointer"])
+def test_kv_cache_parity_rope_pointer(cfg):
+    """The KV-cache decode path (prefill + decode_step, including the RoPE
+    rotation applied at cache-write time and the pointer planes) must be
+    exact against the full-forward oracle for every architecture variant."""
+    params = init_decoder_params(cfg, jax.random.PRNGKey(2))
+    prompt = np.array([[5, 9, 17, 3, 9]], np.int32)
+    length = prompt.shape[1]
+
+    seq = prompt.copy()
+    oracle_tokens = []
+    for _ in range(5):
+        logits = decoder_forward(params, jnp.asarray(seq), cfg=cfg)
+        nxt = int(np.asarray(jnp.argmax(logits[0, -1])))
+        oracle_tokens.append(nxt)
+        seq = np.concatenate([seq, [[nxt]]], axis=1)
+
+    ids = np.zeros((1, 16), np.int32)
+    ids[0, :length] = prompt[0]
+    cache = init_kv_cache(cfg, batch=1)
+    cache, logits = prefill(params, jnp.asarray(ids), cache,
+                            jnp.asarray([length], np.int32), cfg=cfg)
+    got_tokens = []
+    pos = length
+    for _ in range(5):
+        nxt = int(np.asarray(jnp.argmax(logits[0])))
+        got_tokens.append(nxt)
+        cache, logits = decode_step(params, jnp.asarray([nxt], jnp.int32),
+                                    cache, jnp.asarray([pos], jnp.int32),
+                                    cfg=cfg)
+        pos += 1
+    assert got_tokens == oracle_tokens
+
+
+def test_pointer_target_log_probs_match_full_mixture():
+    """The memory-light training path (forward_target_log_probs: copy term
+    evaluated at the target only) must equal indexing the full-vocabulary
+    mixture (decoder_forward) at the target — the [B,L,V]-free trick is an
+    algebraic identity, not an approximation."""
+    from sqe_tpu.models.decoder import forward_target_log_probs
+
+    cfg = ROPE_PTR_CFG
+    params = init_decoder_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, cfg.vocab_size, size=(2, 12)).astype(np.int32)
+    # Force repeated tokens so the copy-match mask has multi-hit rows.
+    ids[:, 6:] = ids[:, :6]
+    full_lp = decoder_forward(params, jnp.asarray(ids[:, :-1]), cfg=cfg)
+    want = np.take_along_axis(np.asarray(full_lp), ids[:, 1:, None], 2)[..., 0]
+    got = np.asarray(
+        forward_target_log_probs(params, jnp.asarray(ids), cfg=cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pointer_log_probs_normalized():
+    """decoder_forward for a pointer config returns log-probabilities of a
+    proper distribution (the gen/copy mixture sums to 1)."""
+    cfg = ROPE_PTR_CFG
+    params = init_decoder_params(cfg, jax.random.PRNGKey(5))
+    ids = np.array([[4, 7, 4, 9]], np.int32)
+    lp = np.asarray(decoder_forward(params, jnp.asarray(ids), cfg=cfg))
+    total = np.exp(lp).sum(axis=-1)
+    np.testing.assert_allclose(total, 1.0, atol=1e-4)
+
+
+def test_decode_chunk_constraints():
+    """Constrained decode: (a) zero bias + zero penalty reproduces the
+    unconstrained token stream bit-for-bit (and returns the counts carry);
+    (b) a -1e9 logit_bias entry makes that token unsampleable; (c) the
+    repetition penalty changes greedy argmax once a token's count exceeds
+    the runner-up margin."""
+    from sqe_tpu.models.decoder import decode_chunk
+
+    params = init_decoder_params(CFG, jax.random.PRNGKey(4))
+    prompt = np.array([[7, 2, 11]], np.int32)
+    length = prompt.shape[1]
+    ids = np.zeros((1, 8), np.int32)
+    ids[0, :length] = prompt[0]
+
+    def run(logit_bias=None, rep=0.0, counts=None, temp=0.8):
+        cache = init_kv_cache(CFG, batch=1)
+        cache, logits = prefill(params, jnp.asarray(ids), cache,
+                                jnp.asarray([length], np.int32), cfg=CFG)
+        kwargs = {}
+        if logit_bias is not None or counts is not None:
+            kwargs["logit_bias"] = jnp.asarray(
+                logit_bias if logit_bias is not None
+                else np.zeros(CFG.vocab_size, np.float32))
+            kwargs["rep_penalty"] = jnp.float32(rep)
+            kwargs["counts"] = jnp.asarray(
+                counts if counts is not None
+                else np.zeros((1, CFG.vocab_size), np.float32))
+        out = decode_chunk(
+            params, cache, logits, jnp.asarray([length], jnp.int32),
+            jax.random.PRNGKey(123), jnp.float32(temp),
+            cfg=CFG, n_tokens=10, top_k=8, pad_id=PAD_ID, **kwargs)
+        toks = np.asarray(out[4])[0]
+        cnts = np.asarray(out[5]) if len(out) > 5 else None
+        return toks, cnts
+
+    base, _ = run()
+    neutral, cnts = run(logit_bias=np.zeros(CFG.vocab_size, np.float32))
+    assert list(neutral) == list(base)
+    assert cnts is not None
+    emitted = [t for t in base if t != PAD_ID]
+    # counts record exactly the emitted (non-PAD) tokens
+    assert cnts.sum() == len(emitted)
+    for t in set(emitted):
+        assert cnts[0, t] == emitted.count(t)
+
+    # (b) ban every token the unconstrained run emitted -> none may appear
+    bias = np.zeros(CFG.vocab_size, np.float32)
+    for t in set(emitted):
+        bias[t] = -1e9
+    banned, _ = run(logit_bias=bias)
+    assert not (set(banned) - {PAD_ID}) & set(emitted)
+
+    # (c) greedy + huge penalty: no immediate self-repetition
+    greedy, _ = run(logit_bias=np.zeros(CFG.vocab_size, np.float32),
+                    rep=1e4, temp=0.0)
+    live = [t for t in greedy if t != PAD_ID]
+    assert all(a != b for a, b in zip(live, live[1:]))
+
+
 def test_sample_token_modes():
     logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0]])
     key = jax.random.PRNGKey(0)
