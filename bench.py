@@ -29,6 +29,12 @@ Precision.HIGHEST exact oracle (epsilon-recall: a returned id counts if its
 float64 similarity is within 1e-5 of the true k-th similarity — the standard
 ANN metric under score ties).
 
+A second stage measures the 1M x 1024-d operating point (VERDICT r03 #6):
+device-generated clustered corpus, HIGHEST-precision oracle over the bf16
+base, recall+QPS rows for the v1/v2 bf16 scans, the v2 int8 scan, and the
+serving-default int8+rerank (v2 scan, R=32) — recorded under ``n_1m`` in
+the output JSON with the same 0.95 gate applied per row.
+
 ``vs_baseline`` normalizes against the BASELINE.json north-star throughput
 (>=50k QPS on v5e-8 => 6250 QPS/chip share).
 
@@ -195,17 +201,18 @@ def main():
         return quantize_rows(v.astype(jnp.float32) - p.astype(jnp.float32) * ps)
 
     rerank_qps, rerank_recall = 0.0, 0.0
+    R100K = 32   # serving default since the 2M R-sweep (rerank_ab_results)
     try:
         r_i8, r_s = _resid(vecs_fused, v_i8, v_s)
         _rs, rids = int8_scan_rerank_topk(q_dev, v_i8, v_s, r_i8, r_s,
-                                          jnp.int32(n), k=k, r=128, bn=bn)
+                                          jnp.int32(n), k=k, r=R100K, bn=bn)
         rerank_recall = float(
             epsilon_recall(vecs, queries, np.asarray(rids), ref_scores, k)
         )
         log(f"fused int8+rerank epsilon-recall@{k}: {rerank_recall:.4f}")
         rerank_qps = timed_windows(
             lambda: int8_scan_rerank_topk(q_dev, v_i8, v_s, r_i8, r_s,
-                                          jnp.int32(n), k=k, r=128, bn=bn),
+                                          jnp.int32(n), k=k, r=R100K, bn=bn),
             "fused int8+rerank",
         )
     except Exception as exc:  # noqa: BLE001 — a diagnostic row must never
@@ -299,6 +306,160 @@ def main():
         v2 = "skipped: time budget"
         log("fused-scan v2 diagnostic skipped (time budget)")
 
+    # 1M operating point (VERDICT r03 #6): the north-star-scale rows. The
+    # corpus is generated ON DEVICE (4 GB of host->device transfer at the
+    # tunnel's 32 MB/s would take minutes); the oracle is the HIGHEST-
+    # precision exact scan over the same bf16 base on a 128-query gate,
+    # exactly the ann_bench_large.py discipline. Engines: the serving
+    # default int8+rerank on the v2 scan (index/flat.py scan_plan), the v2
+    # bf16 scan, the v2 int8 scan, and the v1 fused bf16 scan as the
+    # round-3 reference point. Time-guarded as a block: the always-recorded
+    # 100k rows and the headline never wait on a slow remote compile here.
+    m1 = {}
+    N_GATE_1M = 128
+    if time.perf_counter() - start < 900:
+        try:
+            from sqe_tpu.index.flat import int8_scan_rerank_topk
+            from sqe_tpu.ops.fused_scan2 import (
+                fused_scan2_topk as f2_topk,
+                fused_scan2_topk_int8 as f2_topk_i8,
+            )
+
+            n1 = 1_048_576
+            gen_block = 131_072
+
+            def gen_dev(seed, rows):
+                kc, ka = jax.random.split(jax.random.PRNGKey(seed))
+
+                @jax.jit
+                def gen():
+                    centers = jax.random.normal(kc, (1024, d), jnp.float32)
+
+                    def blk(i):
+                        k1, k2 = jax.random.split(jax.random.fold_in(ka, i))
+                        a = jax.random.randint(k1, (gen_block,), 0, 1024)
+                        v = centers[a] + 0.25 * jax.random.normal(
+                            k2, (gen_block, d), jnp.float32)
+                        v = v / (jnp.linalg.norm(v, axis=1, keepdims=True)
+                                 + 1e-9)
+                        return v.astype(jnp.bfloat16)
+
+                    return jax.lax.map(
+                        blk, jnp.arange(rows // gen_block)).reshape(rows, d)
+
+                return gen()
+
+            t0 = time.perf_counter()
+            v1m = gen_dev(11, n1)
+            q1m = gen_dev(12, gen_block)[:4096].astype(jnp.float32)
+            np.asarray(q1m[0, 0])
+            log(f"1M gen: {time.perf_counter()-t0:.1f}s")
+            gate_q = q1m[:N_GATE_1M]
+
+            t0 = time.perf_counter()
+            ref1_s, _ = flat_topk(gate_q, v1m, jnp.int32(n1), k=k,
+                                  block_n=131_072, exact=True)
+            ref1_s = np.asarray(ref1_s)
+            log(f"1M oracle: {time.perf_counter()-t0:.1f}s")
+
+            @jax.jit
+            def exact_scores(v, q, ids):
+                cand = v[jnp.maximum(ids, 0)].astype(jnp.float32)
+                s = jnp.einsum("bd,bkd->bk", q.astype(jnp.float32), cand,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+                return jnp.where(ids >= 0, s, -jnp.inf)
+
+            def recall_1m(ids):
+                got = np.asarray(exact_scores(v1m, gate_q, jnp.asarray(ids)))
+                thresh = ref1_s[:, k - 1] - 1e-5
+                return float(np.mean(
+                    np.sum(got >= thresh[:, None], axis=1) / k))
+
+            # int8 + residual planes, quantized blockwise on device.
+            import functools as _ft
+
+            @jax.jit
+            def _quant(v):
+                return quantize_rows(v.astype(jnp.float32))
+
+            @jax.jit
+            def _resid_q(v, p, ps):
+                return quantize_rows(v.astype(jnp.float32)
+                                     - p.astype(jnp.float32) * ps)
+
+            @_ft.partial(jax.jit, donate_argnums=(0,))
+            def _fill(buf, vals, c0):
+                return jax.lax.dynamic_update_slice(buf, vals, (c0, 0))
+
+            p_i8 = jnp.zeros((n1, d), jnp.int8)
+            p_s = jnp.zeros((n1, 1), jnp.float32)
+            for c0 in range(0, n1, gen_block):
+                qv, qs = _quant(v1m[c0:c0 + gen_block])
+                p_i8 = _fill(p_i8, qv, jnp.int32(c0))
+                p_s = _fill(p_s, qs, jnp.int32(c0))
+            r_i8 = jnp.zeros((n1, d), jnp.int8)
+            r_s = jnp.zeros((n1, 1), jnp.float32)
+            for c0 in range(0, n1, gen_block):
+                rv, rs = _resid_q(v1m[c0:c0 + gen_block],
+                                  p_i8[c0:c0 + gen_block],
+                                  p_s[c0:c0 + gen_block])
+                r_i8 = _fill(r_i8, rv, jnp.int32(c0))
+                r_s = _fill(r_s, rs, jnp.int32(c0))
+            np.asarray(r_s[0])
+
+            bn1 = pick_bn(n1)
+
+            def timed_1m(fn, tag, b, windows=4, reps=4):
+                best = float("inf")
+                for _w in range(windows):
+                    t0 = time.perf_counter()
+                    for _ in range(reps):
+                        out = fn()
+                    _ = np.asarray(out[0])
+                    best = min(best, (time.perf_counter() - t0) / reps)
+                log(f"1M {tag} B={b}: {best*1e3:.2f} ms => {b/best:,.0f} QPS")
+                return b / best
+
+            R1M = 32   # serving default (scripts/rerank_ab_results.json)
+
+            def row_1m(tag, make_fn, batches=(1024,)):
+                try:
+                    _s, ids = make_fn(gate_q)
+                    r = recall_1m(np.asarray(ids))
+                    log(f"1M {tag} epsilon-recall@{k}: {r:.4f}")
+                    entry = {"recall": round(r, 4), "gated": r >= 0.95}
+                    for b in batches:
+                        q = q1m[:b]
+                        entry[f"qps_b{b}"] = round(
+                            timed_1m(lambda: make_fn(q), tag, b), 1)
+                    m1[tag] = entry
+                except Exception as exc:  # noqa: BLE001 — row-isolated
+                    m1[tag] = f"failed: {exc}"
+                    log(f"1M {tag} FAILED: {exc}")
+
+            row_1m("fused_bf16",
+                   lambda q: fused_scan_topk(q, v1m, jnp.int32(n1), k=k,
+                                             bn=bn1))
+            row_1m("fused2_bf16",
+                   lambda q: f2_topk(q, v1m, jnp.int32(n1), k=k),
+                   batches=(1024, 4096))
+            row_1m("int8_2",
+                   lambda q: f2_topk_i8(q, p_i8, p_s, jnp.int32(n1), k=k))
+            row_1m("int8_rerank2",
+                   lambda q: int8_scan_rerank_topk(
+                       q, p_i8, p_s, r_i8, r_s, jnp.int32(n1), k=k, r=R1M,
+                       bn=bn1, scan2=True),
+                   batches=(1024, 4096))
+            for buf in (v1m, p_i8, p_s, r_i8, r_s):
+                buf.delete()
+        except Exception as exc:  # noqa: BLE001 — stage-isolated
+            m1 = {"error": f"{type(exc).__name__}: {exc}"}
+            log(f"1M stage FAILED: {exc}")
+    else:
+        m1 = "skipped: time budget"
+        log("1M stage skipped (time budget)")
+
     # Headline: fastest engine that passes the recall gate.
     candidates = []
     if flat_recall >= 0.95:
@@ -344,6 +505,7 @@ def main():
         "hnsw": ({"qps": round(hnsw_qps, 1), "recall": round(hnsw_recall, 4)}
                  if hnsw_status == "ok" else hnsw_status),
         "fused2": v2,
+        "n_1m": m1,
     }))
 
 
