@@ -108,11 +108,12 @@ async def run(n_chunks, n_requests, concurrency, batching):
     url = f"http://127.0.0.1:{port}/ask"
     sem = asyncio.Semaphore(concurrency)
 
-    async def one(client, i, latencies):
+    async def one(client, i, latencies, query=None):
         async with sem:
             t0 = time.perf_counter()
             r = await client.post(url, json={
-                "query": f"what is the outcome of treatment for disease{i % 97}",
+                "query": query
+                or f"what is the outcome of treatment for disease{i % 97}",
                 "chat_id": f"c{i % 16}",
                 "top_k": 3,
             }, timeout=120.0)
@@ -170,6 +171,39 @@ async def run(n_chunks, n_requests, concurrency, batching):
         }
         results["concurrent"]["dispatches"] = dispatch_summary(
             conc_delta, n_requests, results["concurrent"]["p50_ms"])
+        results["concurrent"]["cache"] = dict(engine.stats()["cache"])
+
+        # Phase 3: concurrent CACHE-COLD (VERDICT r03 #5). Phase 2's
+        # queries differ in one word, so the semantic probe (tau=0.96)
+        # served ~94% of them from cache and its percentiles mostly
+        # measure the 1-dispatch hit path. Here every request carries a
+        # disjoint per-request vocabulary (unique hash-tail tokens), so
+        # no two queries can clear the probe threshold against each other
+        # or against phases 1-2 — each request walks the FULL miss path
+        # (embed -> probe miss -> search -> prompt -> generate -> cache
+        # put) at concurrency. The phase's own hit/miss delta is recorded
+        # so the 0%-hit claim is auditable.
+        cold_lat = []
+        hits0 = engine.stats()["cache"]["hits"]
+        misses0 = engine.stats()["cache"]["misses"]
+        before = dispatch.snapshot()
+        t0 = time.perf_counter()
+        await asyncio.gather(*(one(
+            client, i, cold_lat,
+            query=(f"coldq{i}alpha {i} outcome coldq{i}beta protocol "
+                   f"coldq{i}gamma trial coldq{i}delta"))
+            for i in range(n_requests)))
+        wall = time.perf_counter() - t0
+        cold_delta = dispatch.delta(before, dispatch.snapshot())
+        cache_now = engine.stats()["cache"]
+        results["concurrent_cold"] = {
+            **pctiles(cold_lat),
+            "req_per_s": round(n_requests / wall, 1),
+            "cache_hits_delta": cache_now["hits"] - hits0,
+            "cache_misses_delta": cache_now["misses"] - misses0,
+        }
+        results["concurrent_cold"]["dispatches"] = dispatch_summary(
+            cold_delta, n_requests, results["concurrent_cold"]["p50_ms"])
 
     await server.stop()
     stats = engine.stats()
@@ -181,7 +215,7 @@ async def run(n_chunks, n_requests, concurrency, batching):
             "device_batches": engine._batcher.batches,
         }
 
-    for phase in ("sequential_b1", "concurrent"):
+    for phase in ("sequential_b1", "concurrent", "concurrent_cold"):
         print(f"{phase}: {json.dumps(results[phase])}", file=sys.stderr)
     with open(RESULTS, "w") as f:
         json.dump(results, f, indent=2)

@@ -113,8 +113,11 @@ def _fit_lm(argv: list) -> None:
              # Grounded-answer instruction phase (train/lm_sft.py): teaches
              # the serve-time contract (extract + cite 'Document <id>',
              # refuse without context). 0 disables.
+             # lm_sft_seq matches cfg.max_len so the SFT prompt budget
+             # equals the serve prefill budget (train-serve match; the
+             # round-4 512-token SFT window saw ~44% of the serve prompt).
              "lm_sft_steps": 2000, "lm_sft_lr": 1e-4, "lm_sft_batch": 16,
-             "lm_sft_seq": 512}
+             "lm_sft_seq": 1024}
     remaining = []
     for arg in argv:
         key, _, raw = arg.lstrip("-").partition("=")

@@ -37,6 +37,34 @@ from sqe_tpu.ops.gather_dot import gather_dot
 from sqe_tpu.utils import dispatch
 
 
+def _gather_dot_chunked(plane_g, gids, qf, *, interpret,
+                        smem_budget: int = 524288):
+    """gather_dot with the query dim chunked to fit the SMEM id table.
+
+    gather_dot scalar-prefetches its whole ``ids [B, R]`` i32 table into
+    SMEM, lane-padded to >=128 columns — B x max(R,128) x 4 bytes against
+    a 1 MB SMEM budget. B=1024/R<=128 fits (512 KB, every measured rerank
+    row), but B=4096 is 2 MB and fails to compile (hit by bench.py's 1M
+    B=4096 rerank row). Chunks of <=``smem_budget`` bytes run as a
+    sequential lax.map — each chunk is still >=1024 full-width queries, so
+    the DMA pipeline stays saturated and the measured cost is additive."""
+    b, r = gids.shape
+    lanes = max(r, 128)
+    bc = b
+    while bc * lanes * 4 > smem_budget and bc % 2 == 0 and bc > 8:
+        bc //= 2
+    if bc == b:
+        return gather_dot(plane_g, gids, qf, interpret=interpret)
+
+    def one(args):
+        idc, qc = args
+        return gather_dot(plane_g, idc, qc, interpret=interpret)
+
+    out = jax.lax.map(one, (gids.reshape(b // bc, bc, r),
+                            qf.reshape(b // bc, bc, qf.shape[1])))
+    return out.reshape(b, out.shape[-1])
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "use_kernel", "interpret"))
 def int8_rerank_topk(
@@ -79,8 +107,9 @@ def int8_rerank_topk(
         sub = (ids % g)[..., None]
 
         def grouped(plane):
-            sims = gather_dot(plane.reshape(n // g, g, d), ids // g, qf,
-                              interpret=interpret)         # [B, R*g]
+            sims = _gather_dot_chunked(plane.reshape(n // g, g, d),
+                                       ids // g, qf,
+                                       interpret=interpret)  # [B, R*g]
             sims = sims.reshape(ids.shape[0], ids.shape[1], g)
             return jnp.take_along_axis(sims, sub, axis=2)[..., 0]
 
@@ -144,8 +173,8 @@ def int8_residual_rerank_topk(
     if use_kernel and n % 8 == 0:
         g = 8
         sub = (ids % g)[..., None]
-        sims = gather_dot(residual.reshape(n // g, g, d), ids // g, qf,
-                          interpret=interpret)
+        sims = _gather_dot_chunked(residual.reshape(n // g, g, d),
+                                   ids // g, qf, interpret=interpret)
         sims = sims.reshape(ids.shape[0], ids.shape[1], g)
         s2 = jnp.take_along_axis(sims, sub, axis=2)[..., 0]
     else:

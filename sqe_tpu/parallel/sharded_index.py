@@ -396,8 +396,13 @@ class ShardedFlatIndex:
             and pick_bn(cap) and cap // 128 >= 16 * k
         )
         # int8_rerank: fused int8 scan selects the per-shard candidate pool;
-        # clamp its depth so the bin-top-1 selection keeps >= 8x bin margin
-        # per shard (the rerank stage then restores exact ordering).
+        # the rerank stage then restores exact ordering. Routed through the
+        # v2 column-max scan per shard (ops/fused_scan2.py) — the measured
+        # single-chip serving default (5.9x v1 at 2M rows; the mesh exists
+        # to scale BEYOND single-chip N, so every shard sits in v2's win
+        # regime) — with the same rerank-restores-recall argument: v2's
+        # residue-class selection margin is N-independent (C=2048 columns,
+        # r_depth=32 << C), so no v1-style per-shard depth clamp is needed.
         use_fused_int8 = (
             self.storage == "int8_rerank"
             and self.scan_impl == "auto"
@@ -405,8 +410,6 @@ class ShardedFlatIndex:
             and pick_bn(cap) and cap // 128 >= 16 * k
         )
         r_depth = max(k, min(self.rerank_depth, cap))
-        if use_fused_int8:
-            r_depth = max(k, min(r_depth, (cap // 128) // 8))
 
         def _merge(scores, ids, gids):
             g = jnp.where(ids >= 0, jnp.take(gids, jnp.maximum(ids, 0)), -1)
@@ -422,11 +425,11 @@ class ShardedFlatIndex:
             def local_q(q, p, ps, r_, rs, gids, counts):
                 valid_local = counts[0]
                 if use_fused_int8:
-                    # One fused program per shard: int8 scan -> top-r_depth
-                    # -> exact residual rerank (DESIGN.md §8d).
+                    # One fused program per shard: v2 int8 scan ->
+                    # top-r_depth -> exact residual rerank (DESIGN.md §8d).
                     scores, ids = int8_scan_rerank_topk(
                         q, p, ps, r_, rs, valid_local,
-                        k=k, r=r_depth, bn=pick_bn(cap),
+                        k=k, r=r_depth, bn=pick_bn(cap), scan2=True,
                     )
                 else:
                     # XLA fallback (CPU meshes / tiny shards): coarse scan

@@ -97,6 +97,68 @@ def ensure_marker_ids(tokenizer, *, expect_present: bool = False) -> Dict[str, i
     return {w: vocab[w] for w in MARKER_WORDS}
 
 
+_HEADER_SPLIT_RE = re.compile(r"(--- Document ID: [^\n]+ ---\n)")
+_END_OF_CONTEXT = "--- End of context ---"
+
+
+def _waterfill(sizes: List[int], total: int) -> List[int]:
+    """Allocate ``total`` words across sections: short sections keep all
+    their words, the surplus splits evenly among the longer ones."""
+    if sum(sizes) <= total:
+        return list(sizes)
+    out = [0] * len(sizes)
+    order = sorted(range(len(sizes)), key=lambda i: sizes[i])
+    left, remaining = total, len(sizes)
+    for i in order:
+        share = left // remaining
+        out[i] = min(sizes[i], share)
+        left -= out[i]
+        remaining -= 1
+    return out
+
+
+def clip_context_sections(prompt: str, budget: int) -> str:
+    """Header-preserving prompt budget for the on-TPU decoder.
+
+    ``head_tail_truncate`` (models/decoder.py) drops the MIDDLE of an
+    overlong prompt — which for a two-section context is usually the
+    second section's header and its slot marker, so the model literally
+    cannot cite that section (round-4 lm_eval: cites_src sat at ~0.5 of
+    cites_valid, chance level for two sections). Here the query, the
+    instruction tail, and EVERY section header survive: only section
+    BODIES are clipped, each to a waterfilled share of the remaining word
+    budget, middle-dropped per section (extractive answers live near
+    sentence starts/ends more often than mid-chunk). Used by both the
+    decode loop (serving/generation.py) and SFT data building
+    (train/lm_sft.py) so train matches serve; head_tail_truncate still
+    runs after as the hard token guarantee."""
+    parts = _HEADER_SPLIT_RE.split(prompt)
+    if len(parts) < 3:
+        return prompt
+    pre, headers, bodies = parts[0], parts[1::2], list(parts[2::2])
+    tail = ""
+    cut = bodies[-1].find(_END_OF_CONTEXT)
+    if cut >= 0:
+        tail = bodies[-1][cut:]
+        bodies[-1] = bodies[-1][:cut]
+    fixed = (len(pre.split()) + len(tail.split())
+             + sum(len(h.split()) for h in headers))
+    body_words = [b.split() for b in bodies]
+    if fixed + sum(len(w) for w in body_words) <= budget:
+        return prompt
+    alloc = _waterfill([len(w) for w in body_words],
+                       max(0, budget - fixed))
+    clipped = []
+    for ws, m in zip(body_words, alloc):
+        if len(ws) > m:
+            h = m // 2
+            ws = ws[:h] + ws[len(ws) - (m - h):]
+        clipped.append(" ".join(ws))
+    return (pre
+            + "".join(h + b + "\n\n" for h, b in zip(headers, clipped))
+            + tail)
+
+
 def mark_citations(prompt: str) -> Tuple[str, List[str]]:
     """Rewrite context headers to carry slot markers.
 

@@ -263,16 +263,22 @@ class TPUDecoderBackend:
             init_kv_cache,
             prefill,
         )
-        from sqe_tpu.serving.citations import mark_citations
+        from sqe_tpu.serving.citations import (
+            clip_context_sections,
+            mark_citations,
+        )
         from sqe_tpu.utils import dispatch
 
         # Slot-based citations (serving/citations.py): tag each context
         # section with a marker word the LM *can* emit; expand emitted
         # markers back to the section's real doc id below.
         prompt, slots = mark_citations(prompt)
-        toks = self.tokenizer.tokenize(prompt)
         budget = self.cfg.max_len - self.max_new_tokens - 1
-        # Keep the query (head) AND the instruction tail; drop middle context.
+        # Header-preserving budget: clip section BODIES so the query, the
+        # instruction, and every slot marker survive (citations.py); then
+        # head_tail_truncate as the hard token guarantee.
+        prompt = clip_context_sections(prompt, budget)
+        toks = self.tokenizer.tokenize(prompt)
         toks = head_tail_truncate(toks, budget)
         length = len(toks)
         ids = np.zeros((1, budget), np.int32)
@@ -299,9 +305,9 @@ class TPUDecoderBackend:
         # the emitted-token counts carry ACROSS chunks so the repetition
         # penalty sees the whole answer so far.
         pos = jnp.asarray([length], jnp.int32)
-        emitted = 0
-        while emitted < self.max_new_tokens:
-            n = min(self.DECODE_CHUNK, self.max_new_tokens - emitted)
+        emitted, stop = 0, None
+        while emitted < self.max_new_tokens - 2:
+            n = min(self.DECODE_CHUNK, self.max_new_tokens - 2 - emitted)
             cache, logits, pos, self._key, toks_dev, counts = decode_chunk(
                 self.params, cache, logits, pos, self._key,
                 jnp.float32(self.temperature),
@@ -315,9 +321,38 @@ class TPUDecoderBackend:
             emitted += n
             if stop:
                 break
+        # Forced citation tail (grammar-constrained decode): rule 2 says
+        # every answer must END with a document reference, so an answer
+        # that exhausts its token budget without citing gets its tail
+        # walked through the contract's grammar — one step restricted to
+        # the word 'document', one restricted to this prompt's mapped
+        # marker ids (the model's marker logits pick WHICH section to
+        # credit). Refusals and cited answers stop before the cap and
+        # never reach this path.
+        if not stop and slots:
+            doc_ids = self.tokenizer.tokenize("document")
+            for allowed in (doc_ids, [self._slot_marker_id[s]
+                                      for s in range(min(len(slots),
+                                                         len(self._slot_marker_id)))]):
+                force = np.full(self.cfg.vocab_size, -1e9, np.float32)
+                force[np.asarray(allowed, np.int64)] = 0.0
+                cache, logits, pos, self._key, toks_dev, counts = decode_chunk(
+                    self.params, cache, logits, pos, self._key,
+                    jnp.float32(0.0),
+                    cfg=self.cfg, n_tokens=1, top_k=self.top_k,
+                    pad_id=PAD_ID, logit_bias=jnp.asarray(force),
+                    rep_penalty=rep, counts=counts,
+                )
+                dispatch.program("lm_decode_chunk")
+                toks_np = np.asarray(toks_dev)[0]
+                dispatch.sync("lm_decode_chunk")
+                self._emit_tokens(toks_np, slots, emit)
 
-    def _emit_tokens(self, toks_np, slots, emit) -> bool:
-        """Render one decoded burst; True when EOS(PAD) was hit.
+    def _emit_tokens(self, toks_np, slots, emit) -> Optional[str]:
+        """Render one decoded burst; returns the stop reason — ``"eos"``
+        when PAD was decoded, ``"cited"`` after a mapped citation marker
+        (the SFT target format ends there: answer sentence, marker, EOS —
+        stopping keeps rule 2's citation terminal), else None.
 
         Marker tokens (serving/citations.py) expand to their slot's real
         doc id so the streamed answer reads ``Document PMC529461`` exactly
@@ -327,7 +362,7 @@ class TPUDecoderBackend:
 
         for tid in toks_np:
             if int(tid) == PAD_ID:
-                return True
+                return "eos"
             slot = self._marker_slot.get(int(tid))
             if slot is not None:
                 if slot < len(slots):
@@ -338,6 +373,7 @@ class TPUDecoderBackend:
                     if doc.endswith(".txt"):
                         doc = doc[:-4]
                     emit(doc + " ")
+                    return "cited"
                 # Unmapped marker (hallucinated slot beyond this prompt's
                 # table, or echoed from a capped section): suppress it —
                 # the internal marker word must never reach a served answer
@@ -346,7 +382,7 @@ class TPUDecoderBackend:
             word = self.inverse.get(int(tid))
             if word is not None:
                 emit(word + " ")
-        return False
+        return None
 
     async def generate(self, prompt: str, system_msg: str = "") -> Optional[str]:
         chunks: list = []

@@ -75,6 +75,7 @@ def build_example(
     and the first EOS(PAD) after them, 0.0 on prompt/conditioning tokens.
     """
     from sqe_tpu.serving.citations import (
+        clip_context_sections,
         ensure_marker_ids,
         mark_citations,
         marker_word,
@@ -113,10 +114,16 @@ def build_example(
     a_toks = tokenizer.tokenize(answer)
     if not a_toks:
         return None
-    # Reserve answer + 1 EOS slot; give the rest to the prompt.
+    # Reserve answer + 1 EOS slot; give the rest to the prompt. Clip
+    # section bodies first (header-preserving, exactly like the decode
+    # loop — serving/citations.py clip_context_sections) so the source's
+    # slot marker always survives into the training prompt; the round-4
+    # middle-drop-only SFT left the second section's marker truncated out
+    # of most examples and the marker association never formed.
     p_budget = seq_len - len(a_toks) - 1
     if p_budget < 16:
         return None
+    prompt = clip_context_sections(prompt, p_budget)
     p_toks = head_tail_truncate(tokenizer.tokenize(prompt), p_budget)
 
     ids = np.zeros(seq_len + 1, np.int32)
@@ -136,9 +143,13 @@ def sft_batches(
     seq_len: int = 512,
     seed: int = 0,
     refusal_frac: float = 0.15,
-    n_distractors: int = 1,
+    n_distractors: int = 3,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Endless stream of ([B, seq_len+1] ids, [B, seq_len] weights)."""
+    """Endless stream of ([B, seq_len+1] ids, [B, seq_len] weights).
+
+    Each example draws 1..``n_distractors`` distractor chunks (the serve
+    path renders up to top_k=5 sections, so the citation-slot choice must
+    be trained beyond the binary case)."""
     rng = np.random.default_rng(seed)
     from sqe_tpu.serving.citations import ensure_marker_ids
     from sqe_tpu.train.eval import build_doc_freq
@@ -152,7 +163,8 @@ def sft_batches(
         order = rng.permutation(len(chunks))
         for r in order:
             src = chunks[int(r)]
-            d_idx = rng.choice(len(chunks), size=n_distractors, replace=False)
+            nd = int(rng.integers(1, n_distractors + 1))
+            d_idx = rng.choice(len(chunks), size=nd, replace=False)
             distractors = [chunks[int(i)] for i in d_idx
                            if chunks[int(i)].doc_id != src.doc_id]
             refusal = bool(rng.random() < refusal_frac)

@@ -126,3 +126,49 @@ def test_backend_expands_marker_to_doc_id():
         np.asarray([tok.vocab[marker_word(5)],
                     tok.tokenize("answer")[0]], np.int32), slots, out2.append)
     assert out2 == ["answer "]
+
+
+def test_clip_context_sections_preserves_headers():
+    from sqe_tpu.serving.citations import clip_context_sections
+    from sqe_tpu.serving.prompts import build_prompt, render_context
+
+    body_a = " ".join(f"alpha{i}" for i in range(300))
+    body_b = " ".join(f"beta{i}" for i in range(300))
+    prompt = build_prompt("what is alpha7?",
+                          render_context({"PMCA": body_a, "PMCB": body_b}))
+    out = clip_context_sections(prompt, 200)
+    # both headers, the query, and the instruction tail survive
+    assert "--- Document ID: PMCA ---" in out
+    assert "--- Document ID: PMCB ---" in out
+    assert "what is alpha7?" in out
+    assert "Provide your concise answer now." in out
+    assert "--- End of context ---" in out
+    # bodies were clipped to roughly the shared budget
+    assert len(out.split()) <= 220
+    # each body keeps its head AND tail words (per-section middle drop)
+    assert "alpha0" in out and "alpha299" in out
+    assert "beta0" in out and "beta299" in out
+
+
+def test_clip_context_sections_noop_cases():
+    from sqe_tpu.serving.citations import clip_context_sections
+
+    assert clip_context_sections("no sections here", 10) == "no sections here"
+    short = ("--- Document ID: X ---\nsmall body\n\n"
+             "--- End of context ---\n\nanswer.")
+    assert clip_context_sections(short, 1000) == short
+
+
+def test_clip_context_sections_waterfill_unequal():
+    from sqe_tpu.serving.citations import clip_context_sections
+
+    tiny = " ".join(f"t{i}" for i in range(10))
+    huge = " ".join(f"h{i}" for i in range(1000))
+    prompt = (f"--- Document ID: T ---\n{tiny}\n\n"
+              f"--- Document ID: H ---\n{huge}\n\n"
+              "--- End of context ---\n")
+    out = clip_context_sections(prompt, 120)
+    # the short section keeps everything; only the long one is clipped
+    for i in range(10):
+        assert f"t{i}" in out
+    assert len(out.split()) <= 140

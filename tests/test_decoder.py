@@ -309,3 +309,32 @@ def test_tpu_decoder_backend_contract(tiny_lm):
 
     chunks = asyncio.run(collect())
     assert chunks and chunks[0].strip() == "gamma"
+
+
+def test_forced_citation_tail():
+    """An answer that exhausts its token budget without citing gets the
+    grammar-constrained tail: '... document <doc-id>' with the id drawn
+    from the prompt's marked sections (rule 2: every answer must end with
+    a reference)."""
+    from sqe_tpu.serving.generation import TPUDecoderBackend
+
+    text = " ".join(f"w{i}" for i in range(40)) + " document "
+    tok = VocabTokenizer.train([text + " citemark0 citemark1"],
+                               vocab_size=128, max_len=256, hash_tail=8)
+    cfg = DecoderConfig(vocab_size=128, d_model=32, n_layers=1, n_heads=2,
+                        d_ff=64, max_len=256, dtype="float32",
+                        pos_enc="rope", pointer=True)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    # Make EOS(PAD) and the marker words unreachable for the free-running
+    # phase by construction: a strong negative lm_head column for PAD.
+    params["lm_head"] = params["lm_head"].at[:, PAD_ID].add(-100.0)
+    backend = TPUDecoderBackend(params, cfg, tok, temperature=0.0,
+                                max_new_tokens=10)
+    prompt = ("--- Document ID: PMCX ---\n" + text + "\n\n"
+              "--- Document ID: PMCY ---\nother words here\n\n"
+              "--- End of context ---\n")
+    answer = asyncio.run(backend.generate(prompt))
+    assert answer, "no answer"
+    words = answer.split()
+    assert words[-1] in ("PMCX", "PMCY"), answer
+    assert words[-2] == "document", answer
