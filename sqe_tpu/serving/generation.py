@@ -216,7 +216,8 @@ class TPUDecoderBackend:
 
     def __init__(self, params, cfg, tokenizer, device=None,
                  max_new_tokens: int = 96, temperature: float = 0.0,
-                 top_k: int = 40, seed: int = 0, rep_penalty: float = 0.5):
+                 top_k: int = 40, seed: int = 0, rep_penalty: float = 0.5,
+                 decode_batch: int = 8):
         # temperature 0.0 (greedy) by default: the contract is extractive,
         # citation-bearing answering (app/main.py:519-528); sampling only
         # degrades format compliance for a small corpus LM.
@@ -247,12 +248,73 @@ class TPUDecoderBackend:
         # (round-4 lm_eval samples). Applied at sample time inside
         # decode_chunk; 0.0 restores unconstrained decoding bit-for-bit.
         self.rep_penalty = rep_penalty
+        # Decode micro-batching: concurrent generate()/stream() calls that
+        # arrive while a decode is in flight are collected (up to
+        # decode_batch, padded to a power of two so at most
+        # log2(decode_batch)+1 programs ever compile) and decoded as ONE
+        # [B]-row KV-cache loop — decode cost is nearly B-independent
+        # until the MXU saturates, so concurrency multiplies throughput
+        # instead of queueing behind a mutex. A single worker owns the
+        # device, replacing the round-3 lock.
+        self.decode_batch = decode_batch
         self._key = jax.random.PRNGKey(seed)
-        self._lock = asyncio.Lock()   # one decode loop at a time per cache
+        self._queue: Optional[asyncio.Queue] = None
+        self._worker: Optional[asyncio.Task] = None
+        self._worker_loop_ref = None
+        self.requests = 0   # observability: micro-batcher effectiveness
+        self.batches = 0
 
     DECODE_CHUNK = 16   # tokens per device program (streaming burst size)
 
-    def _decode_sync(self, prompt: str, emit) -> None:
+    # ------------------------------------------------------- micro-batcher
+
+    async def _submit(self, prompt: str, emit) -> None:
+        """Enqueue one decode request; returns when its decode completes.
+        Requests queued while the worker is busy batch into the next
+        device loop."""
+        loop = asyncio.get_running_loop()
+        if self._worker_loop_ref is not loop or self._worker is None \
+                or self._worker.done():
+            # (Re)bind to the current event loop — tests run several
+            # asyncio.run() loops against one backend instance.
+            self._queue = asyncio.Queue()
+            self._worker_loop_ref = loop
+            self._worker = loop.create_task(self._worker_main())
+        fut = loop.create_future()
+        await self._queue.put((prompt, emit, fut))
+        await fut
+
+    async def _worker_main(self) -> None:
+        while True:
+            first = await self._queue.get()
+            batch = [first]
+            while len(batch) < self.decode_batch:
+                try:
+                    batch.append(self._queue.get_nowait())
+                except asyncio.QueueEmpty:
+                    break
+            self.requests += len(batch)
+            self.batches += 1
+            try:
+                await asyncio.to_thread(
+                    self._decode_sync_batch,
+                    [b[0] for b in batch], [b[1] for b in batch])
+                for _p, _e, fut in batch:
+                    if not fut.done():
+                        fut.set_result(None)
+            except Exception as exc:  # noqa: BLE001 — delivered per-request
+                for _p, _e, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(
+                            RuntimeError(f"tpu decode failed: {exc}"))
+
+    def _decode_sync_batch(self, prompts, emits) -> None:
+        """One batched KV-cache decode over ``len(prompts)`` requests
+        (padded to the next power of two so only log2(decode_batch)+1
+        distinct programs ever compile). Per-row slot tables, logit
+        biases, stop tracking, and forced citation tails — a row's output
+        is identical to running it alone at greedy temperature (gated in
+        tests/test_decoder.py)."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -269,43 +331,55 @@ class TPUDecoderBackend:
         )
         from sqe_tpu.utils import dispatch
 
-        # Slot-based citations (serving/citations.py): tag each context
-        # section with a marker word the LM *can* emit; expand emitted
-        # markers back to the section's real doc id below.
-        prompt, slots = mark_citations(prompt)
+        n_req = len(prompts)
+        b = 1 << max(0, n_req - 1).bit_length()
         budget = self.cfg.max_len - self.max_new_tokens - 1
-        # Header-preserving budget: clip section BODIES so the query, the
-        # instruction, and every slot marker survive (citations.py); then
-        # head_tail_truncate as the hard token guarantee.
-        prompt = clip_context_sections(prompt, budget)
-        toks = self.tokenizer.tokenize(prompt)
-        toks = head_tail_truncate(toks, budget)
-        length = len(toks)
-        ids = np.zeros((1, budget), np.int32)
-        ids[0, :length] = toks
-        cache = init_kv_cache(self.cfg, batch=1)
+        rows, slots_list = [], []
+        for prompt in prompts:
+            # Slot-based citations (serving/citations.py): tag each context
+            # section with a marker word the LM *can* emit; expand emitted
+            # markers back to the section's real doc id in _emit_tokens.
+            # Header-preserving budget: clip section BODIES so the query,
+            # the instruction, and every slot marker survive; then
+            # head_tail_truncate as the hard token guarantee.
+            prompt, slots = mark_citations(prompt)
+            prompt = clip_context_sections(prompt, budget)
+            toks = head_tail_truncate(self.tokenizer.tokenize(prompt), budget)
+            rows.append(toks)
+            slots_list.append(slots)
+        ids = np.zeros((b, budget), np.int32)
+        lengths = np.ones((b,), np.int32)   # pad rows: one PAD-token prompt
+        for i, toks in enumerate(rows):
+            ids[i, : len(toks)] = toks
+            lengths[i] = len(toks)
+        cache = init_kv_cache(self.cfg, batch=b)
         cache, logits = prefill(self.params, jnp.asarray(ids), cache,
-                                jnp.asarray([length], jnp.int32), cfg=self.cfg)
+                                jnp.asarray(lengths), cfg=self.cfg)
         dispatch.program("lm_prefill")
-        # Constrained decode (decode_chunk docstring): marker ids with no
-        # mapped slot for THIS prompt get -1e9 — a hallucinated citation
-        # slot can never be sampled, closing the round-3 advisor finding
-        # at the source rather than only suppressing it at render time.
-        bias = np.zeros(self.cfg.vocab_size, np.float32)
-        for slot, tid in self._slot_marker_id.items():
-            if slot >= len(slots):
-                bias[tid] = -1e9
+        # Constrained decode (decode_chunk docstring): per ROW, marker ids
+        # with no mapped slot for that prompt get -1e9 — a hallucinated
+        # citation slot can never be sampled, closing the round-3 advisor
+        # finding at the source rather than only suppressing it at render.
+        bias = np.zeros((b, self.cfg.vocab_size), np.float32)
+        for i in range(b):
+            n_slots = len(slots_list[i]) if i < n_req else 0
+            for slot, tid in self._slot_marker_id.items():
+                if slot >= n_slots:
+                    bias[i, tid] = -1e9
         logit_bias = jnp.asarray(bias)
         rep = jnp.float32(self.rep_penalty)
-        counts = jnp.zeros((1, self.cfg.vocab_size), jnp.float32)
+        counts = jnp.zeros((b, self.cfg.vocab_size), jnp.float32)
         # Chunked decode: N tokens per device program (lax.scan) instead of
         # one dispatch per token — a 96-token answer costs 6 round-trips,
         # not 96 (~29 ms each through the dev tunnel). Output is
         # bit-identical to the per-token loop (decode_chunk docstring);
         # the emitted-token counts carry ACROSS chunks so the repetition
-        # penalty sees the whole answer so far.
-        pos = jnp.asarray([length], jnp.int32)
-        emitted, stop = 0, None
+        # penalty sees the whole answer so far. Rows that stop early
+        # (EOS or citation) keep computing on-device — uniform control
+        # flow — and the host discards their tokens.
+        pos = jnp.asarray(lengths)
+        stops = [None] * n_req
+        emitted = 0
         while emitted < self.max_new_tokens - 2:
             n = min(self.DECODE_CHUNK, self.max_new_tokens - 2 - emitted)
             cache, logits, pos, self._key, toks_dev, counts = decode_chunk(
@@ -315,27 +389,40 @@ class TPUDecoderBackend:
                 logit_bias=logit_bias, rep_penalty=rep, counts=counts,
             )
             dispatch.program("lm_decode_chunk")
-            toks_np = np.asarray(toks_dev)[0]
+            toks_np = np.asarray(toks_dev)
             dispatch.sync("lm_decode_chunk")
-            stop = self._emit_tokens(toks_np, slots, emit)
+            for i in range(n_req):
+                if stops[i] is None:
+                    stops[i] = self._emit_tokens(toks_np[i], slots_list[i],
+                                                 emits[i])
             emitted += n
-            if stop:
+            if all(s is not None for s in stops):
                 break
         # Forced citation tail (grammar-constrained decode): rule 2 says
-        # every answer must END with a document reference, so an answer
-        # that exhausts its token budget without citing gets its tail
-        # walked through the contract's grammar — one step restricted to
-        # the word 'document', one restricted to this prompt's mapped
-        # marker ids (the model's marker logits pick WHICH section to
-        # credit). Refusals and cited answers stop before the cap and
-        # never reach this path.
-        if not stop and slots:
+        # every answer must END with a document reference, so a row that
+        # exhausts its token budget without citing gets its tail walked
+        # through the contract's grammar — one step restricted to the word
+        # 'document', one restricted to that prompt's mapped marker ids
+        # (the model's marker logits pick WHICH section to credit).
+        # Refusals and cited answers stop before the cap and are never
+        # forced.
+        needy = [i for i in range(n_req)
+                 if stops[i] is None and slots_list[i]]
+        if needy:
             doc_ids = self.tokenizer.tokenize("document")
-            for allowed in (doc_ids, [self._slot_marker_id[s]
-                                      for s in range(min(len(slots),
-                                                         len(self._slot_marker_id)))]):
-                force = np.full(self.cfg.vocab_size, -1e9, np.float32)
-                force[np.asarray(allowed, np.int64)] = 0.0
+            for stage in (0, 1):
+                force = np.zeros((b, self.cfg.vocab_size), np.float32)
+                for i in needy:
+                    force[i, :] = -1e9
+                    if stage == 0:
+                        allowed = doc_ids
+                    else:
+                        allowed = [
+                            self._slot_marker_id[s]
+                            for s in range(min(len(slots_list[i]),
+                                               len(self._slot_marker_id)))
+                        ]
+                    force[i, np.asarray(allowed, np.int64)] = 0.0
                 cache, logits, pos, self._key, toks_dev, counts = decode_chunk(
                     self.params, cache, logits, pos, self._key,
                     jnp.float32(0.0),
@@ -344,9 +431,10 @@ class TPUDecoderBackend:
                     rep_penalty=rep, counts=counts,
                 )
                 dispatch.program("lm_decode_chunk")
-                toks_np = np.asarray(toks_dev)[0]
+                toks_np = np.asarray(toks_dev)
                 dispatch.sync("lm_decode_chunk")
-                self._emit_tokens(toks_np, slots, emit)
+                for i in needy:
+                    self._emit_tokens(toks_np[i], slots_list[i], emits[i])
 
     def _emit_tokens(self, toks_np, slots, emit) -> Optional[str]:
         """Render one decoded burst; returns the stop reason — ``"eos"``
@@ -387,10 +475,7 @@ class TPUDecoderBackend:
     async def generate(self, prompt: str, system_msg: str = "") -> Optional[str]:
         chunks: list = []
         try:
-            async with self._lock:
-                await asyncio.to_thread(
-                    self._decode_sync, system_msg + "\n" + prompt, chunks.append
-                )
+            await self._submit(system_msg + "\n" + prompt, chunks.append)
         except Exception as exc:  # noqa: BLE001 — None-on-failure contract
             log.error("tpu decode failed: %s", exc)
             return None
@@ -403,24 +488,25 @@ class TPUDecoderBackend:
         DONE = object()
 
         def emit(word: str) -> None:
+            # Called from the decode worker thread: words stream out as
+            # each 16-token burst lands, even while the request shares its
+            # device loop with micro-batched peers.
             loop.call_soon_threadsafe(queue.put_nowait, word)
 
-        async with self._lock:
-            task = asyncio.create_task(asyncio.to_thread(
-                self._decode_sync, system_msg + "\n" + prompt, emit
-            ))
-            task.add_done_callback(
-                lambda _t: loop.call_soon_threadsafe(queue.put_nowait, DONE)
-            )
-            while True:
-                item = await queue.get()
-                if item is DONE:
-                    break
-                yield item
-            exc = task.exception()
-            if exc is not None:
-                log.error("tpu decode stream failed: %s", exc)
-                yield f"[ERROR] {exc}"
+        task = asyncio.create_task(
+            self._submit(system_msg + "\n" + prompt, emit))
+        task.add_done_callback(
+            lambda _t: loop.call_soon_threadsafe(queue.put_nowait, DONE)
+        )
+        while True:
+            item = await queue.get()
+            if item is DONE:
+                break
+            yield item
+        exc = task.exception()
+        if exc is not None:
+            log.error("tpu decode stream failed: %s", exc)
+            yield f"[ERROR] {exc}"
 
 
 def build_backend(kind: str, checkpoint_dir: Optional[str] = None,

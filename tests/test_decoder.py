@@ -338,3 +338,42 @@ def test_forced_citation_tail():
     words = answer.split()
     assert words[-1] in ("PMCX", "PMCY"), answer
     assert words[-2] == "document", answer
+
+
+def test_batched_decode_matches_sequential():
+    """The decode micro-batcher: N concurrent generate() calls decode as
+    ONE batched device loop (batches counter == 1), and each row's answer
+    is identical to running that request alone at greedy temperature."""
+    from sqe_tpu.serving.generation import TPUDecoderBackend
+
+    text = " ".join(f"w{i}" for i in range(60)) + " document "
+    tok = VocabTokenizer.train([text + " citemark0 citemark1"],
+                               vocab_size=128, max_len=256, hash_tail=8)
+    cfg = DecoderConfig(vocab_size=128, d_model=32, n_layers=1, n_heads=2,
+                        d_ff=64, max_len=256, dtype="float32",
+                        pos_enc="rope", pointer=True)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    prompts = [
+        ("--- Document ID: PMCA ---\n" + text + "\n\n--- End of context ---\n"
+         "\nwhat is w3?"),
+        ("--- Document ID: PMCB ---\nother words entirely\n\n"
+         "--- End of context ---\n\nwhat is here?"),
+        ("--- Document ID: PMCC ---\n" + text[::-1] + "\n\n"
+         "--- End of context ---\n\nreversed?"),
+    ]
+
+    seq_backend = TPUDecoderBackend(params, cfg, tok, temperature=0.0,
+                                    max_new_tokens=8, decode_batch=1)
+    expect = [asyncio.run(seq_backend.generate(p)) for p in prompts]
+
+    batch_backend = TPUDecoderBackend(params, cfg, tok, temperature=0.0,
+                                      max_new_tokens=8, decode_batch=8)
+
+    async def run_all():
+        return await asyncio.gather(*(batch_backend.generate(p)
+                                      for p in prompts))
+
+    got = asyncio.run(run_all())
+    assert batch_backend.batches == 1, batch_backend.batches
+    assert batch_backend.requests == 3
+    assert got == expect
