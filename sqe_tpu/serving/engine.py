@@ -661,4 +661,12 @@ class RAGEngine:
                 "device_batches": self._batcher.batches,
                 "fused": self._batcher._fused is not None,
             }
+        # On-chip generation micro-batcher (serving/generation.py
+        # TPUDecoderBackend): how well concurrent decodes coalesced.
+        gen = self.backend
+        if hasattr(gen, "batches") and hasattr(gen, "requests"):
+            out["decode_batcher"] = {
+                "requests": gen.requests,
+                "device_batches": gen.batches,
+            }
         return out
