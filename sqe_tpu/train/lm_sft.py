@@ -133,6 +133,15 @@ def build_example(
     # Predicting position t+1 from t: answer starts at index len(p_toks).
     a_start, a_end = len(p_toks), len(p_toks) + len(a_toks)
     weights[a_start - 1 : a_end] = 1.0      # answer tokens + first EOS(PAD)
+    if not refusal:
+        # Upweight the MARKER-token prediction (answer's second-to-last
+        # token: '... Document <marker>.' with the trailing period
+        # stripped by the word tokenizer -> marker is last, its predicting
+        # position is a_end-2): cites_src — crediting the section the
+        # answer actually came from — is the contract's hardest bit
+        # (round-4 eval: 0.656 vs the 0.9+ format rates), and one token
+        # among ~20 carries it.
+        weights[a_end - 2] = 3.0
     return ids, weights
 
 
