@@ -668,5 +668,6 @@ class RAGEngine:
             out["decode_batcher"] = {
                 "requests": gen.requests,
                 "device_batches": gen.batches,
+                "forced_tails": getattr(gen, "forced_tails", 0),
             }
         return out

@@ -263,6 +263,7 @@ class TPUDecoderBackend:
         self._worker_loop_ref = None
         self.requests = 0   # observability: micro-batcher effectiveness
         self.batches = 0
+        self.forced_tails = 0   # answers that needed the grammar tail
 
     DECODE_CHUNK = 16   # tokens per device program (streaming burst size)
 
@@ -408,6 +409,7 @@ class TPUDecoderBackend:
         # forced.
         needy = [i for i in range(n_req)
                  if stops[i] is None and slots_list[i]]
+        self.forced_tails += len(needy)
         if needy:
             doc_ids = self.tokenizer.tokenize("document")
             for stage in (0, 1):
