@@ -172,6 +172,11 @@ async def grounded_samples(params, cfg, tokenizer, chunks, n_samples: int) -> di
         "rates": {k: round(agg.get(k, 0) / n, 3)
                   for k in ("answered", "cites", "cites_valid",
                             "cites_clean", "ends_with_ref", "cites_src")},
+        # How many answers needed the grammar-forced tail vs citing
+        # naturally (serving/generation.py): separates "learned to cite"
+        # from "was made to cite".
+        "forced_tail_rate": round(
+            getattr(backend, "forced_tails", 0) / n, 3),
         "samples": samples,
     }
 
