@@ -9,6 +9,7 @@
 set -u
 cd /root/repo
 while [ ! -e /tmp/r4i_queue_done ]; do sleep 60; done
+# (b2048 probe appended as the last job below)
 Q=/tmp/r4h_queue.log
 echo "r4h start $(date -u)" > "$Q"
 OUT=/tmp/r4_verify.log
@@ -59,3 +60,11 @@ echo "bench exit=$? $(date -u)" >> "$Q"
 
 touch /tmp/r4h_queue_done
 echo "r4h done $(date -u)" >> "$Q"
+
+# b2048 remat probe (ROADMAP lever c): 20 steps pins steps/s + fits-or-OOMs.
+timeout 1500 python -m sqe_tpu fit \
+  --corpus_dir=/root/reference/PMC --checkpoint_dir=/tmp/ckpt_b2048_probe \
+  --fit_batch=2048 --steps=20 --eval_queries=0 --ckpt_every=100000 \
+  > scripts/fit_b2048_probe.log 2>&1
+echo "b2048 probe exit=$? $(date -u)" >> "$Q"
+touch /tmp/r4h_queue_done2
