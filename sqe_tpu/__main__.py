@@ -110,6 +110,11 @@ def _fit_lm(argv: list) -> None:
              # generator head makes extractive copying a one-layer circuit.
              # Old checkpoints (trained without these) still load and serve.
              "lm_pos_enc": "rope", "lm_pointer": 1,
+             # Copy-key masking (models/decoder.py DecoderConfig): restrict
+             # the pointer head to context-section positions so answers
+             # cannot splice prompt scaffolding (VERDICT r04 weak #3).
+             # "none" reproduces the round-4 recipe.
+             "lm_copy_mask": "context",
              # Grounded-answer instruction phase (train/lm_sft.py): teaches
              # the serve-time contract (extract + cite 'Document <id>',
              # refuse without context). 0 disables.
@@ -157,6 +162,7 @@ def _fit_lm(argv: list) -> None:
         n_heads=flags["lm_heads"], d_ff=flags["lm_d_ff"],
         max_len=max(flags["lm_seq_len"] * 4, 1024),
         pos_enc=flags["lm_pos_enc"], pointer=bool(flags["lm_pointer"]),
+        copy_mask=flags["lm_copy_mask"],
     )
     lm_dir = os.path.join(cfg.checkpoint_dir, "lm")
     params, losses = fit_lm(

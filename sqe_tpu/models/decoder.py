@@ -59,8 +59,21 @@ class DecoderConfig:
                  n_layers: int = 4, n_heads: int = 6, d_ff: int = 1536,
                  max_len: int = 1024, dtype: str = "bfloat16",
                  param_dtype: str = "float32", seed: int = 0,
-                 pos_enc: str = "learned", pointer: bool = False):
+                 pos_enc: str = "learned", pointer: bool = False,
+                 copy_mask: str = "none"):
         assert pos_enc in ("learned", "rope")
+        # ``copy_mask="context"`` restricts the pointer head's copy
+        # attention to CONTEXT-SECTION token positions (section headers +
+        # bodies, between the first ``--- Document ID:`` header and
+        # ``--- End of context ---``). The round-4 checkpoint's copy
+        # distribution crossed into the instruction/header region and
+        # answers quoted prompt scaffolding verbatim ("...provide your
+        # concise answer now document PMC..."); masking the keys makes
+        # that leak structurally impossible while keeping slot markers
+        # (which live in section headers) copyable. Recorded in model_cfg
+        # so serve/eval decode applies the same mask the checkpoint was
+        # trained under; old checkpoints load with "none" (bit-compatible).
+        assert copy_mask in ("none", "context")
         self.vocab_size = vocab_size
         self.d_model = d_model
         self.n_layers = n_layers
@@ -72,6 +85,7 @@ class DecoderConfig:
         self.seed = seed
         self.pos_enc = pos_enc
         self.pointer = bool(pointer)
+        self.copy_mask = copy_mask
 
     @property
     def head_dim(self) -> int:
@@ -81,7 +95,7 @@ class DecoderConfig:
     def _key(self):
         return (self.vocab_size, self.d_model, self.n_layers, self.n_heads,
                 self.d_ff, self.max_len, self.dtype, self.param_dtype,
-                self.seed, self.pos_enc, self.pointer)
+                self.seed, self.pos_enc, self.pointer, self.copy_mask)
 
     def __hash__(self):
         return hash(self._key())
@@ -93,7 +107,7 @@ class DecoderConfig:
         return {k: getattr(self, k) for k in
                 ("vocab_size", "d_model", "n_layers", "n_heads", "d_ff",
                  "max_len", "dtype", "param_dtype", "seed", "pos_enc",
-                 "pointer")}
+                 "pointer", "copy_mask")}
 
 
 def head_tail_truncate(toks: list, budget: int) -> list:
@@ -190,7 +204,7 @@ def _rope(x: jax.Array, positions: jax.Array) -> jax.Array:
 
 
 def _pointer_mix_full(x_final, gen_logits, ids, params, cfg,
-                      key_mask=None):
+                      key_mask=None):  # key_mask doubles as the copy mask
     """Full-vocabulary pointer-generator mixture -> log-probs [B, L, V].
 
     Materializes a second [B, L, V] plane (the copy distribution), so this
@@ -207,7 +221,15 @@ def _pointer_mix_full(x_final, gen_logits, ids, params, cfg,
 
 
 def _pointer_attn(x_final, params, cfg, key_mask=None):
-    """Causal pointer attention over final hidden states -> [B, Q, K]."""
+    """Causal pointer attention over final hidden states -> [B, Q, K].
+
+    Masked keys get -1e9 (not -inf) and the post-softmax weights are
+    re-zeroed under the mask: a query row whose keys are ALL masked (e.g.
+    every position before the first context token under
+    ``cfg.copy_mask="context"``) then contributes zero copy mass instead
+    of NaN, and the mixture falls back to the generator head. Where at
+    least one key survives, exp(-1e9 - max) underflows to exactly 0.0 in
+    f32, so the weights are bit-identical to the -inf construction."""
     xf = x_final.astype(jnp.float32)
     pq = xf @ params["ptr_q"].astype(jnp.float32) / np.sqrt(cfg.d_model)
     scores = jnp.einsum("bqd,bkd->bqk", pq, xf)
@@ -217,7 +239,8 @@ def _pointer_attn(x_final, params, cfg, key_mask=None):
     mask = mask[None]
     if key_mask is not None:
         mask = mask & key_mask[:, None, :]
-    return jax.nn.softmax(jnp.where(mask, scores, -jnp.inf), axis=-1)
+    attn = jax.nn.softmax(jnp.where(mask, scores, -1e9), axis=-1)
+    return attn * mask
 
 
 def _pointer_gate(x_final, params):
@@ -267,18 +290,22 @@ def decoder_forward(
     ids: jax.Array,      # [B, L] int32
     *,
     cfg: DecoderConfig,
+    copy_mask: Optional[jax.Array] = None,   # [B, L] bool: copyable keys
 ) -> jax.Array:
     """Full-sequence causal forward -> [B, L, V] f32 (teacher forcing /
     oracle path). For ``cfg.pointer`` the return is the mixture's
     LOG-PROBABILITIES (normalized, so argmax/top-k/CE semantics are
     unchanged) and a second [B, L, V] plane is materialized — fine for
-    tests and oracles; training goes through forward_target_log_probs."""
+    tests and oracles; training goes through forward_target_log_probs.
+    ``copy_mask`` (cfg.copy_mask="context") marks context-section
+    positions the pointer head may copy from."""
     x = _backbone(params, ids, cfg)
     logits = (x.astype(jnp.float32)
               @ params["lm_head"].astype(jnp.float32))     # [B, L, V] f32
     if not cfg.pointer:
         return logits
-    return _pointer_mix_full(x, logits, ids, params, cfg)
+    return _pointer_mix_full(x, logits, ids, params, cfg,
+                             key_mask=copy_mask)
 
 
 def forward_target_log_probs(
@@ -286,13 +313,15 @@ def forward_target_log_probs(
     ids: jax.Array,        # [B, L+1] int32 (inputs = [:, :-1], targets = [:, 1:])
     *,
     cfg: DecoderConfig,
+    copy_mask: Optional[jax.Array] = None,   # [B, L] bool over inputs
 ) -> jax.Array:
     """log p(target_t | prefix) for every position -> [B, L] f32.
 
     The training-loss path: for pointer models the copy term is evaluated
     ONLY at the target token — ``sum_j attn[t, j] * [ids[j] == target_t]``
     via a [B, L, L] match mask — so no second [B, L, V] plane exists and
-    the SFT batch fits HBM at the same batch size as the plain LM."""
+    the SFT batch fits HBM at the same batch size as the plain LM.
+    ``copy_mask`` restricts the copy keys (cfg.copy_mask="context")."""
     inputs, targets = ids[:, :-1], ids[:, 1:]
     x = _backbone(params, inputs, cfg)
     logits = (x.astype(jnp.float32)
@@ -301,7 +330,7 @@ def forward_target_log_probs(
     gen_lp_t = jnp.take_along_axis(gen_lp, targets[..., None], axis=-1)[..., 0]
     if not cfg.pointer:
         return gen_lp_t
-    attn = _pointer_attn(x, params, cfg)                   # [B, Q, K]
+    attn = _pointer_attn(x, params, cfg, key_mask=copy_mask)  # [B, Q, K]
     match = (inputs[:, None, :] == targets[:, :, None])    # [B, Q, K]
     copy_p_t = jnp.sum(attn * match, axis=-1)              # [B, Q]
     p_gen = _pointer_gate(x, params)[..., 0]               # [B, L]
@@ -320,9 +349,12 @@ def init_kv_cache(cfg: DecoderConfig, batch: int = 1) -> Params:
         # Pointer planes: the final hidden state and token id at every
         # position, so each decode step can attend over (and copy from)
         # the whole sequence so far. ~max_len*dm*2 bytes — negligible
-        # beside the KV planes.
+        # beside the KV planes. ``copy_ok`` marks positions the copy head
+        # may attend to: prefill fills it from its (optional) copy mask,
+        # decode steps mark generated positions per cfg.copy_mask.
         cache["ptr_h"] = jnp.zeros((batch, cfg.max_len, cfg.d_model), dtype)
         cache["ids"] = jnp.zeros((batch, cfg.max_len), jnp.int32)
+        cache["copy_ok"] = jnp.zeros((batch, cfg.max_len), jnp.bool_)
     return cache
 
 
@@ -334,12 +366,15 @@ def prefill(
     length: jax.Array,    # [B] int32: true prompt lengths
     *,
     cfg: DecoderConfig,
+    copy_ok: Optional[jax.Array] = None,   # [B, L_prompt] bool (pointer only)
 ) -> Tuple[Params, jax.Array]:
     """Run the prompt through the model, filling the KV cache. Returns
     (cache, last_logits [B, V]) where last_logits correspond to each row's
     final REAL token. For pointer configs last_logits are the mixture's
     log-probs (same argmax/top-k semantics) and the pointer planes
-    (ptr_h/ids) are filled alongside k/v."""
+    (ptr_h/ids/copy_ok) are filled alongside k/v; ``copy_ok`` marks which
+    prompt positions the copy head may attend to (default: every real
+    prompt token — cfg.copy_mask="none" behavior)."""
     dtype = jnp.dtype(cfg.dtype)
     b, l = ids.shape
     x = params["tok_emb"][ids].astype(dtype)
@@ -379,6 +414,8 @@ def prefill(
     if cfg.pointer:
         cache["ptr_h"] = cache["ptr_h"].at[:, :l].set(x.astype(dtype))
         cache["ids"] = cache["ids"].at[:, :l].set(ids)
+        ok = pad_ok if copy_ok is None else (copy_ok & pad_ok)
+        cache["copy_ok"] = cache["copy_ok"].at[:, :l].set(ok)
         logits = _pointer_mix_step(last, logits, cache, length - 1, cfg,
                                    params)
     return cache, logits
@@ -387,14 +424,19 @@ def prefill(
 def _pointer_mix_step(x_last, gen_logits, cache, pos, cfg, params):
     """Single-step pointer mixture -> log-probs [B, V]. Attends over the
     cached pointer plane at key positions <= ``pos`` (each row's current
-    position) and scatters onto the cached token ids."""
+    position) that are marked copyable (cache["copy_ok"] — every real
+    position for cfg.copy_mask="none", context-section positions only for
+    "context") and scatters onto the cached token ids. All-masked rows
+    (softmax over a uniform -1e9 plane, re-zeroed under the mask) copy
+    nothing and the mixture falls back to the generator head."""
     b = x_last.shape[0]
     xf = x_last.astype(jnp.float32)
     pq = xf @ params["ptr_q"].astype(jnp.float32) / np.sqrt(cfg.d_model)
     keys = cache["ptr_h"].astype(jnp.float32)                 # [B, M, dm]
     scores = jnp.einsum("bd,bkd->bk", pq, keys)
     valid = jnp.arange(cfg.max_len)[None, :] <= pos[:, None]
-    attn = jax.nn.softmax(jnp.where(valid, scores, -jnp.inf), axis=-1)
+    valid = valid & cache["copy_ok"]
+    attn = jax.nn.softmax(jnp.where(valid, scores, -1e9), axis=-1)
     copy_p = jnp.zeros((b, cfg.vocab_size), jnp.float32).at[
         jnp.arange(b)[:, None], cache["ids"]
     ].add(jnp.where(valid, attn, 0.0))
@@ -455,6 +497,11 @@ def _decode_step_body(params, token, cache, pos, cfg):
         cache["ptr_h"] = cache["ptr_h"].at[jnp.arange(b), pos].set(
             x.astype(jnp.dtype(cfg.dtype)))
         cache["ids"] = cache["ids"].at[jnp.arange(b), pos].set(token)
+        # Generated tokens are copyable under "none" (legacy behavior);
+        # under "context" the copy head only ever sees context sections —
+        # matching the SFT mask, where answer positions are excluded too.
+        cache["copy_ok"] = cache["copy_ok"].at[jnp.arange(b), pos].set(
+            cfg.copy_mask == "none")
         logits = _pointer_mix_step(x, logits, cache, pos, cfg, params)
     return cache, logits
 

@@ -108,8 +108,15 @@ def build_router(
         # default corpus.
         namespace = _safe_namespace(str(payload.get("namespace", "") or ""))
         kwargs = {"namespace": namespace} if namespace else {}
-        answer = await engine.ask(query, chat_id=chat_id, top_k=top_k, **kwargs)
-        return Response.json({"query": query, "answer": answer})
+        answer, gen_meta = await engine.ask_with_meta(
+            query, chat_id=chat_id, top_k=top_k, **kwargs)
+        body = {"query": query, "answer": answer}
+        if gen_meta:
+            # e.g. {"forced_citation": true}: the citation was imposed by
+            # the decode grammar, not produced by the model — consumers can
+            # discount the attribution (round-4 advisor finding).
+            body["generation"] = gen_meta
+        return Response.json(body)
 
     @router.websocket("/ws/ask")
     async def ws_ask(ws: WebSocket, _request: Request) -> None:

@@ -117,6 +117,19 @@ def _waterfill(sizes: List[int], total: int) -> List[int]:
     return out
 
 
+def word_budget(token_budget: int) -> int:
+    """Word budget for ``clip_context_sections`` given a TOKEN budget.
+
+    The clipper counts whitespace-split words but the decoder budget is in
+    tokens, and a word can span several [a-z0-9]+ token runs ("is6110-based"
+    -> 2 tokens): clipping to the full token budget overshoots, and the
+    subsequent ``head_tail_truncate`` middle-drops exactly the section
+    markers the clip preserved (round-4 advisor finding). A 10% margin
+    makes the truncate a no-op in the common case; it still runs after as
+    the hard guarantee."""
+    return max(16, token_budget - token_budget // 10)
+
+
 def clip_context_sections(prompt: str, budget: int) -> str:
     """Header-preserving prompt budget for the on-TPU decoder.
 

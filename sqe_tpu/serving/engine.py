@@ -579,8 +579,25 @@ class RAGEngine:
         namespace: str = DEFAULT_NAMESPACE,
     ) -> str:
         """Full non-streaming pipeline (reference RAGModel.ask, app/main.py:467-548)."""
+        answer, _meta = await self.ask_with_meta(
+            query, chat_id=chat_id, top_k=top_k, namespace=namespace)
+        return answer
+
+    async def ask_with_meta(
+        self,
+        query: str,
+        chat_id: Optional[str] = None,
+        top_k: Optional[int] = None,
+        namespace: str = DEFAULT_NAMESPACE,
+    ) -> Tuple[str, dict]:
+        """``ask`` plus per-answer generation metadata. Backends that
+        report it (TPUDecoderBackend.generate_with_meta) contribute e.g.
+        ``forced_citation`` — the answer's citation was imposed by the
+        grammar tail, not produced by the model — so /ask consumers can
+        tell attribution quality apart (round-4 advisor finding). Cache
+        hits and backends without metadata return ``{}``."""
         if not query.strip():
-            return "[ERROR] Empty query."
+            return "[ERROR] Empty query.", {}
         top_k = top_k or self.cfg.serve.top_k_default
         timer = StageTimer(self.metrics)
         self.metrics.inc("queries")
@@ -592,17 +609,22 @@ class RAGEngine:
             query, top_k, chat_history, namespace, timer
         )
         if cached is not None:
-            return cached
+            return cached, {}
 
+        gen_meta: dict = {}
         with timer.stage("generate"):
-            answer = await self.backend.generate(prompt, SYSTEM_MESSAGE)
+            if hasattr(self.backend, "generate_with_meta"):
+                answer, gen_meta = await self.backend.generate_with_meta(
+                    prompt, SYSTEM_MESSAGE)
+            else:
+                answer = await self.backend.generate(prompt, SYSTEM_MESSAGE)
         if not answer:
-            return "Error: No response was generated. Please try later!"
+            return "Error: No response was generated. Please try later!", {}
 
         if memory is not None:
             memory.save_context(query, answer)
         self._cache_put(query_emb, answer)
-        return answer
+        return answer, gen_meta
 
     async def ask_stream(
         self,

@@ -269,21 +269,53 @@ class TPUDecoderBackend:
 
     # ------------------------------------------------------- micro-batcher
 
-    async def _submit(self, prompt: str, emit) -> None:
-        """Enqueue one decode request; returns when its decode completes.
+    async def _submit(self, prompt: str, emit) -> dict:
+        """Enqueue one decode request; returns its per-request metadata
+        (``{"forced_citation": bool}``) when the decode completes.
         Requests queued while the worker is busy batch into the next
         device loop."""
         loop = asyncio.get_running_loop()
         if self._worker_loop_ref is not loop or self._worker is None \
                 or self._worker.done():
             # (Re)bind to the current event loop — tests run several
-            # asyncio.run() loops against one backend instance.
+            # asyncio.run() loops against one backend instance. Requests
+            # still sitting on the replaced queue would otherwise await
+            # forever (round-4 advisor finding): fail them loudly.
+            self._drain_queue("decode worker restarted")
             self._queue = asyncio.Queue()
             self._worker_loop_ref = loop
             self._worker = loop.create_task(self._worker_main())
         fut = loop.create_future()
         await self._queue.put((prompt, emit, fut))
-        await fut
+        return await fut
+
+    def _drain_queue(self, reason: str) -> None:
+        """Fail every future still enqueued (worker death / close)."""
+        q = self._queue
+        while q is not None:
+            try:
+                _p, _e, fut = q.get_nowait()
+            except asyncio.QueueEmpty:
+                break
+            try:
+                if not fut.done():
+                    fut.set_exception(RuntimeError(reason))
+            except Exception:  # future bound to a dead event loop
+                pass
+
+    async def close(self) -> None:
+        """Cancel the decode worker and fail pending requests. Idempotent;
+        the backend rebinds a fresh worker if used again afterward."""
+        worker, self._worker = self._worker, None
+        self._worker_loop_ref = None
+        if worker is not None and not worker.done():
+            worker.cancel()
+            try:
+                await worker
+            except (asyncio.CancelledError, Exception):  # noqa: BLE001
+                pass
+        self._drain_queue("decode backend closed")
+        self._queue = None
 
     async def _worker_main(self) -> None:
         while True:
@@ -297,25 +329,36 @@ class TPUDecoderBackend:
             self.requests += len(batch)
             self.batches += 1
             try:
-                await asyncio.to_thread(
+                metas = await asyncio.to_thread(
                     self._decode_sync_batch,
                     [b[0] for b in batch], [b[1] for b in batch])
+                for (_p, _e, fut), meta in zip(batch, metas):
+                    if not fut.done():
+                        fut.set_result(meta)
+            except asyncio.CancelledError:
+                # close()/loop teardown mid-batch: in-flight requests must
+                # not await forever (round-4 advisor finding).
                 for _p, _e, fut in batch:
                     if not fut.done():
-                        fut.set_result(None)
+                        fut.set_exception(
+                            RuntimeError("decode worker cancelled"))
+                raise
             except Exception as exc:  # noqa: BLE001 — delivered per-request
                 for _p, _e, fut in batch:
                     if not fut.done():
                         fut.set_exception(
                             RuntimeError(f"tpu decode failed: {exc}"))
 
-    def _decode_sync_batch(self, prompts, emits) -> None:
+    def _decode_sync_batch(self, prompts, emits) -> list:
         """One batched KV-cache decode over ``len(prompts)`` requests
         (padded to the next power of two so only log2(decode_batch)+1
         distinct programs ever compile). Per-row slot tables, logit
         biases, stop tracking, and forced citation tails — a row's output
         is identical to running it alone at greedy temperature (gated in
-        tests/test_decoder.py)."""
+        tests/test_decoder.py). Returns one metadata dict per request
+        (``forced_citation``: the answer's citation came from the grammar
+        tail, not the model — surfaced so consumers can tell them apart,
+        round-4 advisor finding)."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -329,33 +372,45 @@ class TPUDecoderBackend:
         from sqe_tpu.serving.citations import (
             clip_context_sections,
             mark_citations,
+            word_budget,
         )
+        from sqe_tpu.train.lm_sft import tokenize_with_copy_mask
         from sqe_tpu.utils import dispatch
 
         n_req = len(prompts)
         b = 1 << max(0, n_req - 1).bit_length()
         budget = self.cfg.max_len - self.max_new_tokens - 1
-        rows, slots_list = [], []
+        ctx_masked = getattr(self.cfg, "copy_mask", "none") == "context"
+        rows, masks, slots_list = [], [], []
         for prompt in prompts:
             # Slot-based citations (serving/citations.py): tag each context
             # section with a marker word the LM *can* emit; expand emitted
             # markers back to the section's real doc id in _emit_tokens.
-            # Header-preserving budget: clip section BODIES so the query,
-            # the instruction, and every slot marker survive; then
+            # Header-preserving budget: clip section BODIES (to a worded
+            # share under the token budget, citations.word_budget) so the
+            # query, the instruction, and every slot marker survive; then
             # head_tail_truncate as the hard token guarantee.
             prompt, slots = mark_citations(prompt)
-            prompt = clip_context_sections(prompt, budget)
-            toks = head_tail_truncate(self.tokenizer.tokenize(prompt), budget)
-            rows.append(toks)
+            prompt = clip_context_sections(prompt, word_budget(budget))
+            toks, copy = tokenize_with_copy_mask(self.tokenizer, prompt)
+            rows.append(head_tail_truncate(toks, budget))
+            masks.append(head_tail_truncate(copy, budget))
             slots_list.append(slots)
         ids = np.zeros((b, budget), np.int32)
         lengths = np.ones((b,), np.int32)   # pad rows: one PAD-token prompt
-        for i, toks in enumerate(rows):
+        copy_ok = np.zeros((b, budget), np.bool_)
+        for i, (toks, copy) in enumerate(zip(rows, masks)):
             ids[i, : len(toks)] = toks
             lengths[i] = len(toks)
+            copy_ok[i, : len(copy)] = copy
         cache = init_kv_cache(self.cfg, batch=b)
+        # copy_ok is only passed for checkpoints TRAINED under the context
+        # mask (cfg.copy_mask, models/decoder.py); legacy checkpoints keep
+        # the unrestricted-copy behavior they learned.
         cache, logits = prefill(self.params, jnp.asarray(ids), cache,
-                                jnp.asarray(lengths), cfg=self.cfg)
+                                jnp.asarray(lengths), cfg=self.cfg,
+                                copy_ok=jnp.asarray(copy_ok)
+                                if ctx_masked else None)
         dispatch.program("lm_prefill")
         # Constrained decode (decode_chunk docstring): per ROW, marker ids
         # with no mapped slot for that prompt get -1e9 — a hallucinated
@@ -410,6 +465,7 @@ class TPUDecoderBackend:
         needy = [i for i in range(n_req)
                  if stops[i] is None and slots_list[i]]
         self.forced_tails += len(needy)
+        metas = [{"forced_citation": i in needy} for i in range(n_req)]
         if needy:
             doc_ids = self.tokenizer.tokenize("document")
             for stage in (0, 1):
@@ -437,6 +493,7 @@ class TPUDecoderBackend:
                 dispatch.sync("lm_decode_chunk")
                 for i in needy:
                     self._emit_tokens(toks_np[i], slots_list[i], emits[i])
+        return metas
 
     def _emit_tokens(self, toks_np, slots, emit) -> Optional[str]:
         """Render one decoded burst; returns the stop reason — ``"eos"``
@@ -475,14 +532,26 @@ class TPUDecoderBackend:
         return None
 
     async def generate(self, prompt: str, system_msg: str = "") -> Optional[str]:
+        text, _meta = await self.generate_with_meta(prompt, system_msg)
+        return text
+
+    async def generate_with_meta(
+        self, prompt: str, system_msg: str = ""
+    ) -> tuple:
+        """Like ``generate`` but also returns per-request metadata:
+        ``{"forced_citation": bool}`` — True when the answer only cites
+        because the grammar tail forced it (serving engines surface this
+        in the /ask response so consumers can distinguish model-produced
+        citations from grammar-imposed ones; round-4 advisor finding)."""
         chunks: list = []
         try:
-            await self._submit(system_msg + "\n" + prompt, chunks.append)
+            meta = await self._submit(system_msg + "\n" + prompt,
+                                      chunks.append)
         except Exception as exc:  # noqa: BLE001 — None-on-failure contract
             log.error("tpu decode failed: %s", exc)
-            return None
+            return None, {}
         text = "".join(chunks).strip()
-        return text or None
+        return (text or None), dict(meta or {})
 
     async def stream(self, prompt: str, system_msg: str = "") -> AsyncGenerator[str, None]:
         loop = asyncio.get_running_loop()

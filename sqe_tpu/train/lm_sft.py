@@ -68,11 +68,17 @@ def build_example(
     tokenizer,
     seq_len: int,
     refusal: bool = False,
-) -> Tuple[np.ndarray, np.ndarray] | None:
-    """Returns (ids [seq_len+1], weights [seq_len]) or None.
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Returns (ids [seq_len+1], weights [seq_len], copy_mask [seq_len])
+    or None.
 
     ``weights[t]`` applies to predicting ``ids[t+1]``: 1.0 on answer tokens
     and the first EOS(PAD) after them, 0.0 on prompt/conditioning tokens.
+    ``copy_mask[t]`` is True where ``ids[t]`` is a context-SECTION token
+    (header + body, serving/citations.py segmentation) — the only keys the
+    pointer head may copy from under ``cfg.copy_mask="context"``. The
+    round-4 checkpoint, trained with unrestricted copy keys, spliced
+    instruction-region scaffolding into answers (VERDICT r04 weak #3).
     """
     from sqe_tpu.serving.citations import (
         clip_context_sections,
@@ -123,26 +129,66 @@ def build_example(
     p_budget = seq_len - len(a_toks) - 1
     if p_budget < 16:
         return None
-    prompt = clip_context_sections(prompt, p_budget)
-    p_toks = head_tail_truncate(tokenizer.tokenize(prompt), p_budget)
+    from sqe_tpu.serving.citations import word_budget
+
+    prompt = clip_context_sections(prompt, word_budget(p_budget))
+    p_toks, p_copy = tokenize_with_copy_mask(tokenizer, prompt)
+    p_toks = head_tail_truncate(p_toks, p_budget)
+    p_copy = head_tail_truncate(p_copy, p_budget)
 
     ids = np.zeros(seq_len + 1, np.int32)
     seq = list(p_toks) + list(a_toks)       # remaining tail stays PAD (EOS)
     ids[: len(seq)] = seq
     weights = np.zeros(seq_len, np.float32)
+    copy_mask = np.zeros(seq_len, np.bool_)
+    copy_mask[: len(p_copy)] = p_copy
     # Predicting position t+1 from t: answer starts at index len(p_toks).
     a_start, a_end = len(p_toks), len(p_toks) + len(a_toks)
     weights[a_start - 1 : a_end] = 1.0      # answer tokens + first EOS(PAD)
-    if not refusal:
+    if not refusal and len(a_toks) >= 2:
         # Upweight the MARKER-token prediction (answer's second-to-last
         # token: '... Document <marker>.' with the trailing period
         # stripped by the word tokenizer -> marker is last, its predicting
         # position is a_end-2): cites_src — crediting the section the
         # answer actually came from — is the contract's hardest bit
         # (round-4 eval: 0.656 vs the 0.9+ format rates), and one token
-        # among ~20 carries it.
-        weights[a_end - 2] = 3.0
-    return ids, weights
+        # among ~20 carries it. x2, not round-4's x3: the x3 run traded
+        # cites_valid 0.984 -> 0.875 and regressed perplexity for its src
+        # gain (VERDICT r04 next #1). The len guard keeps the weight off
+        # the prompt->answer transition for single-token answers (round-4
+        # advisor finding).
+        weights[a_end - 2] = 2.0
+    return ids, weights, copy_mask
+
+
+def tokenize_with_copy_mask(tokenizer, prompt: str):
+    """Tokenize ``prompt`` and mark which token positions lie inside the
+    context-section region (first ``--- Document ID:`` header through
+    ``--- End of context ---``, exclusive). Tokenization is word-level
+    ([a-z0-9]+ runs, data/tokenizer.py) and the segment boundaries fall on
+    non-word characters, so tokenizing the three segments independently
+    concatenates to exactly ``tokenizer.tokenize(prompt)``. Shared by SFT
+    data building and the serve decode loop (train/serve parity)."""
+    import re as _re
+
+    def seg_toks(seg: str) -> list:
+        # tokenize("") returns [UNK]; a wordless segment contributes no
+        # tokens, and must contribute none here either.
+        return tokenizer.tokenize(seg) if _re.search(r"[A-Za-z0-9]", seg) \
+            else []
+
+    i0 = prompt.find("--- Document ID:")
+    if i0 < 0:
+        toks = tokenizer.tokenize(prompt)
+        return toks, [False] * len(toks)
+    i1 = prompt.find("--- End of context ---", i0)
+    if i1 < 0:
+        i1 = len(prompt)
+    pre = seg_toks(prompt[:i0])
+    ctx = seg_toks(prompt[i0:i1])
+    post = seg_toks(prompt[i1:])
+    return (pre + ctx + post,
+            [False] * len(pre) + [True] * len(ctx) + [False] * len(post))
 
 
 def sft_batches(
@@ -153,8 +199,9 @@ def sft_batches(
     seed: int = 0,
     refusal_frac: float = 0.15,
     n_distractors: int = 3,
-) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Endless stream of ([B, seq_len+1] ids, [B, seq_len] weights).
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Endless stream of ([B, seq_len+1] ids, [B, seq_len] weights,
+    [B, seq_len] copy_mask).
 
     Each example draws 1..``n_distractors`` distractor chunks (the serve
     path renders up to top_k=5 sections, so the citation-slot choice must
@@ -167,7 +214,7 @@ def sft_batches(
 
     doc_freq = build_doc_freq(chunks)
 
-    ids_rows, w_rows = [], []
+    ids_rows, w_rows, m_rows = [], [], []
     while True:
         order = rng.permutation(len(chunks))
         for r in order:
@@ -183,12 +230,14 @@ def sft_batches(
                 continue
             ids_rows.append(ex[0])
             w_rows.append(ex[1])
+            m_rows.append(ex[2])
             if len(ids_rows) == batch_size:
-                yield np.stack(ids_rows), np.stack(w_rows)
-                ids_rows, w_rows = [], []
+                yield np.stack(ids_rows), np.stack(w_rows), np.stack(m_rows)
+                ids_rows, w_rows, m_rows = [], [], []
 
 
 def sft_loss(params, ids: jax.Array, weights: jax.Array,
+             copy_mask: jax.Array | None = None,
              *, cfg: DecoderConfig) -> jax.Array:
     """Next-token CE masked to the answer span (weights).
 
@@ -196,8 +245,10 @@ def sft_loss(params, ids: jax.Array, weights: jax.Array,
     for ``cfg.pointer`` the copy mixture is scored at the target token
     directly, so the extractive SFT objective — copy the answer sentence
     out of the rendered context — trains the pointer head without ever
-    materializing a [B, L, V] copy plane."""
-    lp = forward_target_log_probs(params, ids, cfg=cfg)
+    materializing a [B, L, V] copy plane. ``copy_mask`` is threaded when
+    cfg.copy_mask="context" so the pointer keys match serve decode."""
+    mask = copy_mask if cfg.copy_mask == "context" else None
+    lp = forward_target_log_probs(params, ids, cfg=cfg, copy_mask=mask)
     return -jnp.sum(lp * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
@@ -226,9 +277,10 @@ def fit_lm_sft(
     opt_state = tx.init(params)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, ids, weights):
+    def step(params, opt_state, ids, weights, copy_mask):
         loss, grads = jax.value_and_grad(
-            functools.partial(sft_loss, cfg=cfg))(params, ids, weights)
+            functools.partial(sft_loss, cfg=cfg))(params, ids, weights,
+                                                  copy_mask)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -237,11 +289,12 @@ def fit_lm_sft(
     batches = sft_batches(chunks, tokenizer, batch_size=batch_size,
                           seq_len=seq_len, seed=seed,
                           refusal_frac=refusal_frac)
-    for i, (ids, weights) in enumerate(batches):
+    for i, (ids, weights, copy_mask) in enumerate(batches):
         if i >= steps:
             break
         params, opt_state, loss = step(
-            params, opt_state, jnp.asarray(ids), jnp.asarray(weights))
+            params, opt_state, jnp.asarray(ids), jnp.asarray(weights),
+            jnp.asarray(copy_mask))
         device_losses.append(loss)   # device handle only (see train/fit.py)
         if (i + 1) % log_every == 0 or i == 0:
             log.info("sft step %d/%d loss %.4f (%.1fs)", i + 1, steps,

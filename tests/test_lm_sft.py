@@ -64,8 +64,9 @@ def test_grounded_example_masks_prompt_targets_answer(setup):
     ex = build_example(chunks[0], [chunks[1]], rng, doc_freq, tok,
                        seq_len=256)
     assert ex is not None
-    ids, weights = ex
+    ids, weights, copy_mask = ex
     assert ids.shape == (257,) and weights.shape == (256,)
+    assert copy_mask.shape == (256,) and copy_mask.dtype == np.bool_
     # The supervised span decodes to the answer: source sentence + citation.
     sup = [int(ids[t + 1]) for t in range(256) if weights[t] > 0]
     inv = {v: k for k, v in tok.vocab.items()}
@@ -96,7 +97,7 @@ def test_grounded_example_cites_source_slot(setup):
                            seq_len=512)
         if ex is None:
             continue
-        ids, weights = ex
+        ids, weights, _copy = ex
         sup = [int(ids[t + 1]) for t in range(512) if weights[t] > 0]
         marker = inv[sup[-2]]                   # last word before EOS
         assert marker.startswith("citemark")
@@ -118,7 +119,7 @@ def test_refusal_example_targets_rule3_string(setup):
     rng = np.random.default_rng(1)
     ex = build_example(chunks[0], [chunks[1]], rng, doc_freq, tok,
                        seq_len=256, refusal=True)
-    ids, weights = ex
+    ids, weights, _copy = ex
     sup = [int(ids[t + 1]) for t in range(256) if weights[t] > 0]
     inv = {v: k for k, v in tok.vocab.items()}
     got = " ".join(inv.get(t, "?") for t in sup if t != PAD_ID)
@@ -132,9 +133,79 @@ def test_sft_batches_shapes_and_mix(setup):
     chunks, tok, _ = setup
     it = sft_batches(chunks, tok, batch_size=8, seq_len=256, seed=0,
                      refusal_frac=0.5)
-    ids, weights = next(it)
+    ids, weights, copy_mask = next(it)
     assert ids.shape == (8, 257) and weights.shape == (8, 256)
+    assert copy_mask.shape == (8, 256)
     assert (weights.sum(axis=1) > 0).all()
+
+
+def test_copy_mask_covers_context_only(setup):
+    """The copy mask marks exactly the context-section token region:
+    section headers (slot markers included — they must stay copyable) and
+    bodies, but neither the system message / query before the first header
+    nor the end-of-context instruction tail the round-4 checkpoint spliced
+    into answers (VERDICT r04 weak #3), nor the answer span."""
+    chunks, tok, doc_freq = setup
+    rng = np.random.default_rng(0)
+    ex = build_example(chunks[0], [chunks[1]], rng, doc_freq, tok,
+                       seq_len=512)
+    ids, weights, copy_mask = ex
+    inv = {v: k for k, v in tok.vocab.items()}
+    a_start = int(np.argmax(weights > 0)) + 1   # first answer token index
+    # Context region is a single contiguous True run inside the prompt.
+    marked = np.flatnonzero(copy_mask)
+    assert marked.size > 0
+    assert marked[-1] < a_start                  # never the answer span
+    assert (np.diff(marked) == 1).all()          # contiguous
+    # Slot markers sit inside the masked region.
+    marker_pos = [t for t in marked
+                  if inv.get(int(ids[t]), "").startswith("citemark")]
+    assert marker_pos
+    # The instruction tail ('provide your concise answer now') and the
+    # system message ('you are a helpful ai assistant') are NOT copyable
+    # (token-id comparison: these words live in the hash tail of the tiny
+    # test vocab, so names are unavailable but ids are deterministic).
+    provide_id, helpful_id = (tok.tokenize(w)[0] for w in ("provide",
+                                                           "helpful"))
+    unmasked_ids = {int(ids[t]) for t in range(a_start) if not copy_mask[t]}
+    masked_ids = {int(ids[t]) for t in marked}
+    assert provide_id in unmasked_ids and helpful_id in unmasked_ids
+    assert provide_id not in masked_ids and helpful_id not in masked_ids
+
+
+def test_copy_masked_decode_cannot_copy_instruction_tokens():
+    """Under cfg.copy_mask='context', a token id present ONLY in the
+    instruction region gets zero copy mass at decode: with the generator
+    head biased off (p_gen -> 0 via a huge negative gate bias), its
+    mixture probability stays at the 1e-9 floor, while context-body
+    tokens receive real copy mass."""
+    import jax.numpy as jnp
+
+    from sqe_tpu.models.decoder import (
+        init_decoder_params,
+        init_kv_cache,
+        prefill,
+    )
+
+    cfg = DecoderConfig(vocab_size=64, d_model=32, n_layers=1, n_heads=2,
+                        d_ff=64, max_len=32, pointer=True,
+                        copy_mask="context")
+    params = init_decoder_params(cfg)
+    # Force the mixture fully onto the copy head.
+    params["ptr_gate"]["b"] = params["ptr_gate"]["b"] - 1e4
+    ids = np.zeros((1, 16), np.int32)
+    ids[0, :8] = [5, 6, 7, 8, 9, 10, 11, 12]
+    copy_ok = np.zeros((1, 16), np.bool_)
+    copy_ok[0, 2:6] = True                      # "context" = ids 7..10
+    cache = init_kv_cache(cfg, batch=1)
+    cache, logits = prefill(params, jnp.asarray(ids), cache,
+                            jnp.asarray(np.array([8], np.int32)),
+                            cfg=cfg, copy_ok=jnp.asarray(copy_ok))
+    probs = np.exp(np.asarray(logits))[0]
+    # Tokens only outside the mask (5, 6 at pos 0-1; 11, 12 at pos 6-7)
+    # carry (near-)zero probability; masked-region tokens carry the mass.
+    assert probs[[7, 8, 9, 10]].sum() > 0.999
+    assert probs[[5, 6, 11, 12]].max() < 1e-6
 
 
 def test_sft_loss_decreases_on_tiny_fit(setup):
