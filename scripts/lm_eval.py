@@ -153,25 +153,41 @@ async def grounded_samples(params, cfg, tokenizer, chunks, n_samples: int) -> di
             did = c.doc_id.replace(".txt", "")
             ctx_map[did] = (ctx_map.get(did, "") + "\n" + c.text).strip()
         prompt = build_prompt(q, render_context(ctx_map))
-        answer = await backend.generate(prompt, SYSTEM_MESSAGE) or ""
+        answer, meta = await backend.generate_with_meta(prompt, SYSTEM_MESSAGE)
+        answer = answer or ""
+        forced = bool(meta.get("forced_citation"))
         checks = check_answer(answer, list(ctx_map),
                               src_id=src.doc_id.replace(".txt", ""))
         agg.update({k: int(v) for k, v in checks.items()
                     if isinstance(v, bool) and v})
+        # Unforced (learned) variant of every rate: a citation that only
+        # exists because the grammar tail walked the model through it does
+        # NOT count — these are the rates the model earned, and the ones
+        # the round-5 gates are set on (VERDICT r04 next #4; the grammar
+        # tail stays as a serve-time fallback, not an eval crutch).
+        agg.update({f"{k}_unforced": int(v and not forced)
+                    for k, v in checks.items() if isinstance(v, bool) and v})
         agg["answered"] += int(bool(answer.strip()))
+        agg["answered_unforced"] += int(bool(answer.strip()))
         samples.append({
             "question": q,
             "context_ids": list(ctx_map),
             "answer": answer,
+            "forced_citation": forced,
             **{k: v for k, v in checks.items() if k != "cited_ids"},
             "cited_ids": checks["cited_ids"],
         })
     n = max(1, len(samples))
+    keys = ("answered", "cites", "cites_valid",
+            "cites_clean", "ends_with_ref", "cites_src")
     return {
         "n_samples": len(samples),
-        "rates": {k: round(agg.get(k, 0) / n, 3)
-                  for k in ("answered", "cites", "cites_valid",
-                            "cites_clean", "ends_with_ref", "cites_src")},
+        # As-served rates: the grammar-forced tail included (what a client
+        # of /ask observes).
+        "rates": {k: round(agg.get(k, 0) / n, 3) for k in keys},
+        # Learned rates: forced-tail citations do not count.
+        "rates_unforced": {k: round(agg.get(f"{k}_unforced", 0) / n, 3)
+                           for k in keys},
         # How many answers needed the grammar-forced tail vs citing
         # naturally (serving/generation.py): separates "learned to cite"
         # from "was made to cite".

@@ -88,20 +88,24 @@ class PostgresAuth:
 
     def __init__(self, host: str, port: int = 5432, database: str = "postgres",
                  user: str = "postgres", password: str = "",
-                 timeout_s: float = 5.0):
+                 timeout_s: float = 5.0, ssl: str = "prefer"):
         self.host, self.port = host, port
         self.database, self.user, self.password = database, user, password
         self.timeout_s = timeout_s
+        self.ssl = ssl
 
     @classmethod
     def from_env(cls) -> "PostgresAuth":
-        """Reference env names (embedding_gen.py:30-35)."""
+        """Reference env names (embedding_gen.py:30-35); POSTGRES_SSLMODE
+        maps disable/prefer/require onto the wire client's SSLRequest
+        negotiation (pgwire.PGWireClient)."""
         return cls(
             host=os.getenv("POSTGRES_HOST", "localhost"),
             port=int(os.getenv("POSTGRES_PORT", "5432")),
             database=os.getenv("POSTGRES_DB", "postgres"),
             user=os.getenv("POSTGRES_USER", "postgres"),
             password=os.getenv("POSTGRES_PASSWORD", ""),
+            ssl=os.getenv("POSTGRES_SSLMODE", "prefer"),
         )
 
     async def __call__(self, user_id: str) -> bool:
@@ -109,7 +113,7 @@ class PostgresAuth:
 
         if not user_id.strip():
             return False
-        client = PGWireClient(timeout_s=self.timeout_s)
+        client = PGWireClient(timeout_s=self.timeout_s, ssl=self.ssl)
         try:
             await client.connect(self.host, self.port, self.user,
                                  self.password, self.database)

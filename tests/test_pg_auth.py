@@ -9,13 +9,15 @@ exercised without a real Postgres.
 """
 
 import asyncio
+import base64
 import hashlib
+import hmac
 import struct
 
 import pytest
 
 from sqe_tpu.serving.auth import PostgresAuth
-from sqe_tpu.serving.pgwire import md5_password
+from sqe_tpu.serving.pgwire import SSL_REQUEST_CODE, md5_password
 
 USERS = {
     "alice": ("alice", "alice@example.com"),
@@ -51,6 +53,8 @@ class StubPG:
         self.port = None
         self.seen_queries = []
         self.seen_params = []
+        self.saw_ssl_request = False
+        self.bad_server_sig = False
 
     async def start(self):
         self.server = await asyncio.start_server(self._handle, "127.0.0.1", 0)
@@ -69,10 +73,19 @@ class StubPG:
             writer.close()
 
     async def _session(self, reader, writer):
-        # Startup message (no type byte).
+        # Startup message (no type byte) — possibly preceded by an
+        # SSLRequest (the client's default ssl=prefer), declined with 'N'
+        # like a TLS-less server.
         (length,) = struct.unpack("!I", await reader.readexactly(4))
         body = await reader.readexactly(length - 4)
         (proto,) = struct.unpack("!I", body[:4])
+        if proto == SSL_REQUEST_CODE:
+            self.saw_ssl_request = True
+            writer.write(b"N")
+            await writer.drain()
+            (length,) = struct.unpack("!I", await reader.readexactly(4))
+            body = await reader.readexactly(length - 4)
+            (proto,) = struct.unpack("!I", body[:4])
         assert proto == 196608
         kv = body[4:].split(b"\x00")
         params = dict(zip(kv[0::2], kv[1::2]))
@@ -100,6 +113,59 @@ class StubPG:
                     "password authentication failed")))
                 await writer.drain()
                 return
+        elif self.auth == "scram":
+            # Server half of SCRAM-SHA-256 (RFC 7677): PostgreSQL's
+            # default auth since v14 — verifies proof AND sends v= so the
+            # client's mutual-auth check runs.
+            writer.write(_msg(b"R", struct.pack("!I", 10)
+                              + _cstr("SCRAM-SHA-256") + b"\x00"))
+            await writer.drain()
+            mtype, payload = await _read_msg(reader)
+            assert mtype == b"p"
+            mech_end = payload.index(b"\x00")
+            assert payload[:mech_end] == b"SCRAM-SHA-256"
+            (ln,) = struct.unpack("!I", payload[mech_end + 1: mech_end + 5])
+            client_first = payload[mech_end + 5: mech_end + 5 + ln].decode()
+            assert client_first.startswith("n,,")
+            bare = client_first[3:]
+            client_nonce = dict(kv.split("=", 1)
+                                for kv in bare.split(","))["r"]
+            server_nonce = client_nonce + "SRVNONCE"
+            s_salt, iters = base64.b64encode(b"saltsalt").decode(), 4096
+            server_first = f"r={server_nonce},s={s_salt},i={iters}"
+            writer.write(_msg(b"R", struct.pack("!I", 11)
+                              + server_first.encode()))
+            await writer.drain()
+            mtype, payload = await _read_msg(reader)
+            assert mtype == b"p"
+            attrs = dict(kv.split("=", 1)
+                         for kv in payload.decode().split(","))
+            assert attrs["c"] == base64.b64encode(b"n,,").decode()
+            assert attrs["r"] == server_nonce
+            salted = hashlib.pbkdf2_hmac("sha256", self.password.encode(),
+                                         b"saltsalt", iters)
+            client_key = hmac.new(salted, b"Client Key",
+                                  hashlib.sha256).digest()
+            stored = hashlib.sha256(client_key).digest()
+            without_proof = f"c={attrs['c']},r={attrs['r']}"
+            auth_msg = ",".join((bare, server_first, without_proof)).encode()
+            sig = hmac.new(stored, auth_msg, hashlib.sha256).digest()
+            proof = base64.b64decode(attrs["p"])
+            recovered = bytes(a ^ b for a, b in zip(proof, sig))
+            if hashlib.sha256(recovered).digest() != stored:
+                writer.write(_msg(b"E", b"SFATAL\x00M" + _cstr(
+                    "password authentication failed")))
+                await writer.drain()
+                return
+            server_key = hmac.new(salted, b"Server Key",
+                                  hashlib.sha256).digest()
+            digest = hmac.new(server_key, auth_msg, hashlib.sha256).digest()
+            if self.bad_server_sig:
+                digest = digest[::-1]
+            v = base64.b64encode(digest).decode()
+            writer.write(_msg(b"R", struct.pack("!I", 12)
+                              + f"v={v}".encode()))
+            await writer.drain()
         writer.write(_msg(b"R", struct.pack("!I", 0)))           # AuthOk
         writer.write(_msg(b"S", _cstr("server_version") + _cstr("16.0")))
         writer.write(_msg(b"K", struct.pack("!II", 1234, 5678)))
@@ -173,7 +239,7 @@ def _run(coro):
     return asyncio.run(coro)
 
 
-@pytest.mark.parametrize("auth_kind", ["cleartext", "md5"])
+@pytest.mark.parametrize("auth_kind", ["cleartext", "md5", "scram"])
 def test_known_user_authorized(auth_kind):
     async def go():
         stub = StubPG(auth=auth_kind)
@@ -188,6 +254,36 @@ def test_known_user_authorized(auth_kind):
     # Parameterized, never interpolated (embedding_gen.py:296-304 parity).
     assert stub.seen_queries == [PostgresAuth.QUERY]
     assert stub.seen_params == [["alice"]]
+    # The client offered TLS before startup (ssl=prefer default).
+    assert stub.saw_ssl_request
+
+
+def test_scram_wrong_password_fails_closed():
+    async def go():
+        stub = StubPG(auth="scram")
+        await stub.start()
+        try:
+            return await _auth_for(stub, password="wrong")("alice")
+        finally:
+            await stub.stop()
+
+    assert _run(go()) is False
+
+
+def test_scram_tampered_server_signature_fails_closed():
+    """Mutual auth: a server that validates the proof but returns a bogus
+    v= signature (it does not actually hold ServerKey) is rejected."""
+
+    async def go():
+        stub = StubPG(auth="scram")
+        stub.bad_server_sig = True
+        await stub.start()
+        try:
+            return await _auth_for(stub)("alice")
+        finally:
+            await stub.stop()
+
+    assert _run(go()) is False
 
 
 def test_unknown_user_denied():
