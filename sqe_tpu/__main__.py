@@ -122,7 +122,11 @@ def _fit_lm(argv: list) -> None:
              # equals the serve prefill budget (train-serve match; the
              # round-4 512-token SFT window saw ~44% of the serve prompt).
              "lm_sft_steps": 2000, "lm_sft_lr": 1e-4, "lm_sft_batch": 16,
-             "lm_sft_seq": 1024}
+             "lm_sft_seq": 1024,
+             # dp-sharded LM training (VERDICT r04 weak #8): --lm_dp=N jits
+             # both phases over an N-device 'dp' mesh (train/lm.py
+             # lm_data_shardings); 0/1 = single-device.
+             "lm_dp": 0}
     remaining = []
     for arg in argv:
         key, _, raw = arg.lstrip("-").partition("=")
@@ -164,11 +168,17 @@ def _fit_lm(argv: list) -> None:
         pos_enc=flags["lm_pos_enc"], pointer=bool(flags["lm_pointer"]),
         copy_mask=flags["lm_copy_mask"],
     )
+    mesh = None
+    if flags["lm_dp"] > 1:
+        from sqe_tpu.parallel import make_mesh
+
+        mesh = make_mesh((flags["lm_dp"],), ("dp",))
+        print(f"lm training dp-sharded over {flags['lm_dp']} devices")
     lm_dir = os.path.join(cfg.checkpoint_dir, "lm")
     params, losses = fit_lm(
         train_chunks, dcfg, tokenizer, steps=flags["lm_steps"],
         batch_size=flags["lm_batch"], seq_len=flags["lm_seq_len"],
-        lr=flags["lm_lr"], ckpt_dir=lm_dir,
+        lr=flags["lm_lr"], ckpt_dir=lm_dir, mesh=mesh,
     )
     print(f"lm fit: {len(losses)} steps, loss {losses[0]:.3f} -> {losses[-1]:.3f}")
     sft_losses = []
@@ -179,7 +189,7 @@ def _fit_lm(argv: list) -> None:
             params, train_chunks, dcfg, tokenizer,
             steps=flags["lm_sft_steps"], batch_size=flags["lm_sft_batch"],
             seq_len=flags["lm_sft_seq"], lr=flags["lm_sft_lr"],
-            ckpt_dir=lm_dir,
+            ckpt_dir=lm_dir, mesh=mesh,
         )
         print(f"lm sft: {len(sft_losses)} steps, "
               f"loss {sft_losses[0]:.3f} -> {sft_losses[-1]:.3f}")

@@ -91,6 +91,19 @@ def lm_loss(params, ids: jax.Array, *, cfg: DecoderConfig) -> jax.Array:
     return -jnp.sum(lp * weight) / jnp.maximum(jnp.sum(weight), 1.0)
 
 
+def lm_data_shardings(mesh):
+    """(replicated, dp-batch) NamedShardings for mesh-parallel LM training.
+
+    The generation LM is small (tens of MB), so pure DP is the right
+    mesh mapping (VERDICT r04 weak #8): parameters/optimizer replicate,
+    batches shard over axis ``dp`` on dim 0, and XLA inserts the gradient
+    all-reduce from the shardings alone — the same compiler-native
+    pattern as train/contrastive.py's dp axis, no shard_map needed."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P("dp"))
+
+
 def fit_lm(
     chunks: Sequence[Chunk],
     cfg: DecoderConfig,
@@ -104,6 +117,7 @@ def fit_lm(
     log_every: int = 100,
     ckpt_dir: Optional[str] = None,
     ckpt_every: int = 2000,
+    mesh=None,
 ) -> Tuple[dict, List[float]]:
     params = init_decoder_params(cfg, jax.random.PRNGKey(seed))
     tx = optax.chain(
@@ -111,6 +125,12 @@ def fit_lm(
         optax.adamw(optax.warmup_cosine_decay_schedule(
             0.0, lr, max(1, steps // 20), steps, lr * 0.05)),
     )
+    data_sharding = None
+    if mesh is not None:
+        repl, data_sharding = lm_data_shardings(mesh)
+        assert batch_size % mesh.shape["dp"] == 0, \
+            f"batch {batch_size} not divisible by dp={mesh.shape['dp']}"
+        params = jax.device_put(params, repl)
     opt_state = tx.init(params)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -120,6 +140,11 @@ def fit_lm(
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    def place(batch):
+        arr = jnp.asarray(batch)
+        return arr if data_sharding is None \
+            else jax.device_put(arr, data_sharding)
+
     device_losses: List[jax.Array] = []
     t0 = time.perf_counter()
     batches = lm_batches(chunks, tokenizer, batch_size=batch_size,
@@ -127,7 +152,7 @@ def fit_lm(
     for i, batch in enumerate(batches):
         if i >= steps:
             break
-        params, opt_state, loss = step(params, opt_state, jnp.asarray(batch))
+        params, opt_state, loss = step(params, opt_state, place(batch))
         # Device handle only: per-step float() would sync every dispatch and
         # serialize host batch prep against the chip (see train/fit.py).
         device_losses.append(loss)

@@ -267,13 +267,24 @@ def fit_lm_sft(
     log_every: int = 100,
     ckpt_dir: str | None = None,
     ckpt_every: int = 1000,
+    mesh=None,
 ) -> Tuple[dict, List[float]]:
-    """Fine-tune ``params`` (the base LM) on grounded-answer examples."""
+    """Fine-tune ``params`` (the base LM) on grounded-answer examples.
+    ``mesh`` dp-shards the step exactly like fit_lm (train/lm.py
+    lm_data_shardings): params replicate, batches shard over 'dp'."""
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(optax.warmup_cosine_decay_schedule(
             0.0, lr, max(1, steps // 20), steps, lr * 0.05)),
     )
+    data_sharding = None
+    if mesh is not None:
+        from sqe_tpu.train.lm import lm_data_shardings
+
+        repl, data_sharding = lm_data_shardings(mesh)
+        assert batch_size % mesh.shape["dp"] == 0, \
+            f"batch {batch_size} not divisible by dp={mesh.shape['dp']}"
+        params = jax.device_put(params, repl)
     opt_state = tx.init(params)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -289,12 +300,16 @@ def fit_lm_sft(
     batches = sft_batches(chunks, tokenizer, batch_size=batch_size,
                           seq_len=seq_len, seed=seed,
                           refusal_frac=refusal_frac)
+    def place(arr):
+        arr = jnp.asarray(arr)
+        return arr if data_sharding is None \
+            else jax.device_put(arr, data_sharding)
+
     for i, (ids, weights, copy_mask) in enumerate(batches):
         if i >= steps:
             break
         params, opt_state, loss = step(
-            params, opt_state, jnp.asarray(ids), jnp.asarray(weights),
-            jnp.asarray(copy_mask))
+            params, opt_state, place(ids), place(weights), place(copy_mask))
         device_losses.append(loss)   # device handle only (see train/fit.py)
         if (i + 1) % log_every == 0 or i == 0:
             log.info("sft step %d/%d loss %.4f (%.1fs)", i + 1, steps,
