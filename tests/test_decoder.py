@@ -333,11 +333,40 @@ def test_forced_citation_tail():
     prompt = ("--- Document ID: PMCX ---\n" + text + "\n\n"
               "--- Document ID: PMCY ---\nother words here\n\n"
               "--- End of context ---\n")
-    answer = asyncio.run(backend.generate(prompt))
+    answer, meta = asyncio.run(backend.generate_with_meta(prompt))
     assert answer, "no answer"
     words = answer.split()
     assert words[-1] in ("PMCX", "PMCY"), answer
     assert words[-2] == "document", answer
+    # The grammar-imposed citation is flagged per-response (round-4
+    # advisor finding) and counted in the backend stat.
+    assert meta.get("forced_citation") is True
+    assert backend.forced_tails == 1
+
+
+def test_backend_close_fails_pending_and_rebinds():
+    """close() cancels the worker and drains queued futures; the backend
+    still serves after (a fresh worker rebinds on next submit)."""
+    from sqe_tpu.serving.generation import TPUDecoderBackend
+
+    tok = VocabTokenizer.train(["alpha beta gamma delta"],
+                               vocab_size=64, max_len=32, hash_tail=8)
+    cfg = DecoderConfig(vocab_size=64, d_model=16, n_layers=1, n_heads=2,
+                        d_ff=32, max_len=32, dtype="float32",
+                        pos_enc="rope", pointer=True)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    backend = TPUDecoderBackend(params, cfg, tok, temperature=0.0,
+                                max_new_tokens=4)
+
+    async def go():
+        first = await backend.generate("alpha beta")
+        await backend.close()
+        assert backend._worker is None
+        second = await backend.generate("alpha beta")   # rebinds cleanly
+        return first, second
+
+    first, second = asyncio.run(go())
+    assert first == second
 
 
 def test_batched_decode_matches_sequential():
