@@ -85,6 +85,11 @@ def main() -> None:
     cand_m, inc_m = metrics(CANDIDATE), metrics(INCUMBENT)
     assert cand_m is not None, f"no candidate eval under {CANDIDATE}"
     assert inc_m is not None, f"no incumbent eval under {INCUMBENT}"
+    if cand_m == inc_m and os.path.exists(INCUMBENT + "_r4"):
+        # The candidate is already deployed (re-run after --deploy):
+        # compare against the preserved pre-deploy incumbent instead of
+        # the candidate's own copy, or the decision degenerates to a tie.
+        inc_m = metrics(INCUMBENT + "_r4")
     cand, inc = judge(cand_m), judge(inc_m)
 
     if cand["passes_all"] and not inc["passes_all"]:
