@@ -214,7 +214,17 @@ async def serve(
     if upload_port:
         upload_server = Server(router, host or cfg.host, upload_port)
         await upload_server.start()
-    await server.serve_forever()
+    try:
+        await server.serve_forever()
+    finally:
+        # Shut the decode micro-batcher down cleanly so its worker task
+        # does not leak and queued requests fail loudly (round-4 advisor
+        # finding; TPUDecoderBackend.close).
+        seen: set = set()
+        for backend in (engine.backend, engine.stream_backend):
+            if id(backend) not in seen and hasattr(backend, "close"):
+                seen.add(id(backend))
+                await backend.close()
 
 
 def main(argv: Optional[list] = None) -> None:
